@@ -1,0 +1,152 @@
+"""Task heads over the encoder pyramid.
+
+Re-designs of /root/reference/u_net_arch/models/heads/: the U-Net decoder
+heads (MultiDimHeadResNet multi_dimensional_head.py:16-85, SceneSegHeadResNet
+segmentation_head.py:15-77, MultiPartSegHeadResNet :80-149), the classifier
+(classifier.py:17-48), and the GAN discriminator head
+(discriminator_head.py:16-44).  Nearest-neighbor upsampling uses the 1-NN
+indices precomputed in the geometry pyramid.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from .layers import ConvBN, masked_global_avg_pool, torch_bn_momentum
+from .pyramid import Pyramid
+
+
+def nearest_upsample(coarse_features: jnp.ndarray, up_idx: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """(B, N_coarse, C), (B, N_fine) -> (B, N_fine, C): copy each fine
+    point's nearest coarse feature (MaskedUpsample mode='nearest',
+    pt_utils.py:224-226)."""
+    return jnp.take_along_axis(coarse_features, up_idx[..., None], axis=1)
+
+
+class UNetDecoder(nn.Module):
+    """Shared decoder trunk: 4 nearest-upsample + skip-concat + 1x1 conv
+    steps, 24w->4w->2w->w->w/2 (multi_dimensional_head.py:35-51).
+
+    Note: the reference decoder BNs use torch's default momentum (0.1), which
+    equals the backbone default, so one bn_momentum serves both.
+    """
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        w = int(self.cfg.width)
+        x = feats[-1]  # res5: 16w
+        widths = [4 * w, 2 * w, w, w // 2]
+        for step, out_w in enumerate(widths):
+            lvl = 4 - step  # upsample level -> level-1
+            tr = pyramid.transitions[lvl - 1]
+            x = nearest_upsample(x, tr.up_idx)
+            x = jnp.concatenate([x, feats[lvl - 1]], axis=-1)
+            x = ConvBN(out_w, self.cfg.bn_momentum)(x, train)
+        return x  # (B, N, w/2) at input resolution
+
+
+class MultiDimHead(nn.Module):
+    """Per-point regression/classification head of dimension ``num_out``:
+    offset regression (3), outlier logits (1/2), or full-cleaning (4)
+    (multi_dimensional_head.py:16-85)."""
+    num_out: int
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        w = int(self.cfg.width)
+        x = UNetDecoder(self.cfg)(pyramid, feats, train)
+        x = ConvBN(w // 2, self.cfg.bn_momentum)(x, train)
+        x = nn.Dense(self.num_out, use_bias=True,
+                     kernel_init=nn.initializers.he_normal())(x)
+        return x  # (B, N, num_out)
+
+
+class SceneSegHead(nn.Module):
+    """Per-point class logits (segmentation_head.py:15-77) — structurally the
+    same as MultiDimHead with num_out = num_classes."""
+    num_classes: int
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        return MultiDimHead(self.num_classes, self.cfg)(pyramid, feats, train)
+
+
+class MultiPartSegHead(nn.Module):
+    """Per-shape-class part logits (segmentation_head.py:80-149)."""
+    num_classes: int
+    num_parts: Sequence[int]
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> List[jnp.ndarray]:
+        w = int(self.cfg.width)
+        x = UNetDecoder(self.cfg)(pyramid, feats, train)
+        outs = []
+        for np_i in self.num_parts:
+            h = ConvBN(w // 2, self.cfg.bn_momentum)(x, train)
+            h = nn.Dense(int(np_i), use_bias=True,
+                         kernel_init=nn.initializers.he_normal())(h)
+            outs.append(h)
+        return outs
+
+
+class _PooledMLPHead(nn.Module):
+    """Masked-global-avg-pool + Linear/BN/act/Dropout stack shared by the
+    classifier and discriminator heads."""
+    num_out: int
+    cfg: Config
+    negative_slope: float = 0.0  # 0 -> ReLU, >0 -> LeakyReLU
+    final_sigmoid: bool = False
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        w = int(self.cfg.width)
+        x = pooled
+        for hidden in (8 * w, 4 * w, 2 * w):
+            x = nn.Dense(hidden, kernel_init=nn.initializers.he_normal())(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=torch_bn_momentum(0.1))(x)
+            x = nn.leaky_relu(x, self.negative_slope) if self.negative_slope \
+                else nn.relu(x)
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.num_out,
+                     kernel_init=nn.initializers.he_normal())(x)
+        if self.final_sigmoid:
+            x = nn.sigmoid(x)
+        return x
+
+
+class ClassifierHead(nn.Module):
+    """Global shape classifier (classifier.py:17-48)."""
+    num_classes: int
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        pooled = masked_global_avg_pool(feats[-1], pyramid.levels[-1].mask)
+        return _PooledMLPHead(self.num_classes, self.cfg)(pooled, train)
+
+
+class DiscriminatorHead(nn.Module):
+    """GAN discriminator: pooled res5 -> MLP -> sigmoid scalar
+    (discriminator_head.py:16-44)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        pooled = masked_global_avg_pool(feats[-1], pyramid.levels[-1].mask)
+        return _PooledMLPHead(1, self.cfg, negative_slope=0.01,
+                              final_sigmoid=True)(pooled, train)

@@ -1,0 +1,262 @@
+"""Local aggregation operators over precomputed neighborhoods.
+
+TPU-native re-designs of
+/root/reference/u_net_arch/models/local_aggregation_operators.py: every
+operator consumes a :class:`..models.pyramid.Neighborhood` (indices, mask,
+relative positions built once per forward) instead of re-running the ball
+query, and works channels-last so the per-point contraction maps onto the
+MXU.
+
+Operators: PseudoGrid (KPConv, local_aggregation_operators.py:403-510),
+PosPool (:94-190), AdaptiveWeight (:193-302), PointWiseMLP (:305-400), and
+the Attention wrapper (:17-91).  Dispatch mirrors LocalAggregation
+(:513-551).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops import group_features
+from .kernel_points import create_kernel_points
+from .layers import BNReLU, ConvBN
+from .pyramid import Neighborhood
+
+
+def _feature_mask(nbr: Neighborhood, query_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, M, K) mask used by every reference operator: neighborhood mask,
+    forced to all-ones for padding queries
+    (local_aggregation_operators.py:492: ``idx_mask + (1 - query_mask)``)."""
+    return nbr.mask + (1.0 - query_mask[:, :, None])
+
+
+def _masked_reduce(agg: jnp.ndarray, nbr: Neighborhood,
+                   query_mask: jnp.ndarray, reduction: str) -> jnp.ndarray:
+    """Reduce (B, M, K, C) over K the way the reference does (:165-183)."""
+    if reduction == "max":
+        # padding slots replicate real neighbors (pad-by-cycling), so a
+        # plain max matches the reference max_pool2d-without-mask behavior.
+        return jnp.max(agg, axis=2)
+    fmask = _feature_mask(nbr, query_mask)[..., None]
+    summed = jnp.sum(agg * fmask, axis=2)
+    if reduction in ("avg", "mean"):
+        return summed / jnp.maximum(jnp.sum(fmask, axis=2), 1.0)
+    if reduction == "sum":
+        return summed
+    raise NotImplementedError(f"Reduction {reduction} not implemented")
+
+
+class PseudoGrid(nn.Module):
+    """KPConv-style pseudo-grid aggregation
+    (local_aggregation_operators.py:403-510).
+
+    Per query point: gather K neighbor features, weight them by each kernel
+    point's influence (linear/gaussian/constant in the distance between the
+    neighbor's relative position and the kernel point), contract neighbors
+    against kernel points on the MXU, apply per-kernel-point channel weights,
+    and sum over kernel points.
+    """
+    in_channels: int
+    out_channels: int
+    radius: float
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, support_features: jnp.ndarray, nbr: Neighborhood,
+                 query_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pg = self.cfg.pseudo_grid
+        extent = 2.0 * pg.KP_extent * self.radius / self.cfg.density_parameter
+        k_radius = 1.5 * extent
+        kpoints = jnp.asarray(create_kernel_points(
+            k_radius, pg.num_kernel_points, fixed=pg.fixed_kernel_points,
+            seed=int(self.cfg.rng_seed)))  # (K_kp, 3)
+
+        grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
+        # influence weights (B, M, K, K_kp)
+        diff = nbr.rel_xyz[..., None, :] - kpoints[None, None, None, :, :]
+        sq = jnp.sum(diff * diff, axis=-1)
+        if pg.KP_influence == "constant":
+            w = jnp.ones_like(sq)
+        elif pg.KP_influence == "linear":
+            w = jnp.maximum(1.0 - jnp.sqrt(sq) / extent, 0.0)
+        elif pg.KP_influence == "gaussian":
+            sigma = extent * 0.3
+            w = jnp.exp(-sq / (2.0 * sigma * sigma + 1e-9))
+        else:
+            raise ValueError(f"Unknown KP_influence {pg.KP_influence}")
+        if pg.convolution_mode != "sum":
+            raise NotImplementedError(
+                f"convolution_mode {pg.convolution_mode} not supported")
+
+        w = w * _feature_mask(nbr, query_mask)[..., None]
+
+        c = self.in_channels
+        kernel_weights = self.param(
+            "kernel_weights",
+            nn.initializers.truncated_normal(stddev=np.sqrt(2.0 / c)),
+            (int(pg.num_kernel_points), c))
+        # [K_kp, K] x [K, C] per (b, m) on the MXU, then per-kernel-point
+        # channel weights and sum over kernel points (ref :499-503).
+        per_kp = jnp.einsum("bmkp,bmkc->bmpc", w, grouped)
+        out = jnp.einsum("bmpc,pc->bmc", per_kp, kernel_weights)
+
+        if pg.output_conv or self.in_channels != self.out_channels:
+            out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
+        else:
+            out = BNReLU(self.cfg.bn_momentum)(out, train)
+        return out
+
+
+class PosPool(nn.Module):
+    """Parameter-free position-modulated pooling
+    (local_aggregation_operators.py:94-190)."""
+    in_channels: int
+    out_channels: int
+    radius: float
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, support_features: jnp.ndarray, nbr: Neighborhood,
+                 query_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pp = self.cfg.pospool
+        C = self.in_channels
+        grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
+        rel = nbr.rel_xyz / self.radius  # grouper normalize_xyz=True (:114)
+
+        if pp.position_embedding == "xyz":
+            # multiply each third of the channels by one coordinate
+            B, M, K, _ = grouped.shape
+            agg = grouped.reshape(B, M, K, C // 3, 3) * rel[..., None, :]
+            agg = agg.reshape(B, M, K, C)
+        elif pp.position_embedding == "sin_cos":
+            feat_dim = C // 6
+            wave_length, alpha = 1000.0, 100.0
+            rng = jnp.arange(feat_dim, dtype=jnp.float32)
+            dim_mat = jnp.power(wave_length, rng / feat_dim)
+            pos = (alpha * rel)[..., None] / dim_mat  # (B,M,K,3,feat)
+            emb = jnp.concatenate([jnp.sin(pos), jnp.cos(pos)], axis=-1)
+            emb = emb.reshape(*rel.shape[:-1], C)
+            agg = grouped * emb
+        else:
+            raise NotImplementedError(
+                f"Position embedding {pp.position_embedding} not implemented")
+
+        out = _masked_reduce(agg, nbr, query_mask, pp.reduction)
+        if pp.output_conv or self.in_channels != self.out_channels:
+            out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
+        else:
+            out = BNReLU(self.cfg.bn_momentum)(out, train)
+        return out
+
+
+class AdaptiveWeight(nn.Module):
+    """MLP-on-relative-position adaptive weighting
+    (local_aggregation_operators.py:193-302; only the ``dp`` weight type is
+    implemented, like the reference :266-270)."""
+    in_channels: int
+    out_channels: int
+    radius: float
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, support_features: jnp.ndarray, nbr: Neighborhood,
+                 query_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        aw = self.cfg.adaptive_weight
+        if aw.weight_type != "dp":
+            raise NotImplementedError(
+                f"Weight type {aw.weight_type} not implemented")
+        C = self.in_channels
+        S = int(aw.shared_channels)
+        grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
+        rel = nbr.rel_xyz / self.radius
+
+        w = rel
+        for i in range(int(aw.num_mlps)):
+            if i > 0:
+                w = nn.relu(w)
+            w = nn.Dense(C // S, use_bias=True,
+                         kernel_init=nn.initializers.he_normal())(w)
+        if aw.weight_softmax:
+            w = nn.softmax(w, axis=2)
+        B, M, K, _ = grouped.shape
+        agg = grouped.reshape(B, M, K, C // S, S) * w[..., None]
+        agg = agg.reshape(B, M, K, C)
+        out = _masked_reduce(agg, nbr, query_mask, aw.reduction)
+        if aw.output_conv or self.in_channels != self.out_channels:
+            out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
+        else:
+            out = BNReLU(self.cfg.bn_momentum)(out, train)
+        return out
+
+
+class PointWiseMLP(nn.Module):
+    """Shared-MLP aggregation (local_aggregation_operators.py:305-400)."""
+    in_channels: int
+    out_channels: int
+    radius: float
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, support_features: jnp.ndarray, nbr: Neighborhood,
+                 query_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pw = self.cfg.pointwisemlp
+        grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
+        rel = nbr.rel_xyz / self.radius
+        # slot 0 is the distance-sorted nearest neighbor == the query point
+        # itself for self-aggregation (ref relies on this too, :368).
+        center = grouped[:, :, :1, :]
+        relative = grouped - center
+        if pw.feature_type == "dp_fj":
+            x = jnp.concatenate([rel, relative], axis=-1)
+        elif pw.feature_type == "dp_fi_df":
+            K = grouped.shape[2]
+            center_rep = jnp.broadcast_to(center, grouped.shape)
+            x = jnp.concatenate([rel, center_rep, relative], axis=-1)
+        else:
+            raise NotImplementedError(
+                f"Feature type {pw.feature_type} not implemented")
+
+        n_mlps = int(pw.num_mlps)
+        if n_mlps == 1:
+            x = ConvBN(self.out_channels, self.cfg.bn_momentum)(x, train)
+        else:
+            mfdim = max(self.in_channels // 2, 9)
+            x = ConvBN(mfdim, self.cfg.bn_momentum)(x, train)
+            for _ in range(n_mlps - 2):
+                x = ConvBN(mfdim, self.cfg.bn_momentum)(x, train)
+            x = ConvBN(self.out_channels, self.cfg.bn_momentum)(x, train)
+        return _masked_reduce(x, nbr, query_mask, pw.reduction)
+
+
+class LocalAggregation(nn.Module):
+    """Dispatch over aggregation operators
+    (local_aggregation_operators.py:513-551)."""
+    in_channels: int
+    out_channels: int
+    radius: float
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, support_features: jnp.ndarray, nbr: Neighborhood,
+                 query_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kind = self.cfg.local_aggregation_type
+        kw = dict(in_channels=self.in_channels, out_channels=self.out_channels,
+                  radius=self.radius, cfg=self.cfg)
+        if kind == "pseudo_grid":
+            op = PseudoGrid(**kw)
+        elif kind == "pospool":
+            op = PosPool(**kw)
+        elif kind == "adaptive_weight":
+            op = AdaptiveWeight(**kw)
+        elif kind == "pointwisemlp":
+            op = PointWiseMLP(**kw)
+        elif kind == "attention":
+            from .attention import AttentionAggregation
+            op = AttentionAggregation(**kw)
+        else:
+            raise NotImplementedError(f"LocalAggregation {kind} not implemented")
+        return op(support_features, nbr, query_mask, train)

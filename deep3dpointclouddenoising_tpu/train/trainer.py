@@ -1,0 +1,170 @@
+"""Jitted, mesh-parallel training runtime.
+
+Replaces the reference training loop plumbing
+(/root/reference/u_net_arch/train_dist.py:343-465): optimizer construction
+with the DDP world-size LR scaling (:356-370), gradient clipping at 10
+(:449), per-iteration LR scheduling (:451), and the DDP allreduce — here a
+single jitted train step over a 1-D device mesh with the batch sharded on
+the ``data`` axis and parameters replicated (XLA inserts the gradient
+all-reduce over ICI).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..parallel.mesh import DATA_AXIS, make_mesh
+from .lr_schedule import get_lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config, n_iter_per_epoch: int,
+                   world_size: int = 1) -> Tuple[optax.GradientTransformation,
+                                                 optax.Schedule]:
+    """Optimizer + per-iteration LR schedule (train_dist.py:356-372).
+
+    torch semantics preserved: SGD scales the LR by
+    ``batch_size * world_size / 8`` (:358); ``weight_decay`` is additive L2
+    for sgd/adam and decoupled for adamW; grads are clipped to global norm
+    ``grad_clip_norm`` before everything else (:449).
+    """
+    name = cfg.optimizer
+    wd = float(cfg.weight_decay)
+    if name == "sgd":
+        base_lr = (float(cfg.batch_size) * world_size / 8.0
+                   * float(cfg.base_learning_rate))
+    else:
+        base_lr = float(cfg.base_learning_rate)
+    schedule = get_lr_schedule(cfg, n_iter_per_epoch, base_lr=base_lr)
+
+    parts = [optax.clip_by_global_norm(float(cfg.grad_clip_norm))]
+    if name == "sgd":
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.trace(decay=float(cfg.momentum)))
+    elif name == "adam":
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_adam())
+    elif name == "adamW":
+        parts.append(optax.scale_by_adam())
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+    else:
+        raise NotImplementedError(f"Optimizer {name} not supported")
+    parts.append(optax.scale_by_schedule(lambda s: -schedule(s)))
+    return optax.chain(*parts), schedule
+
+
+class Trainer:
+    """Owns the model, loss, optimizer, mesh, and the jitted steps.
+
+    ``batch`` convention (matching OffsetDataset output order,
+    offset_dataset.py:730-733, channels-last): a dict with ``points``
+    (B,N,3), ``mask`` (B,N), ``features`` (B,N,C), ``offsets`` (B,N,3) and
+    optionally ``labels`` (B,N).
+    """
+
+    def __init__(self, cfg: Config, model, loss_fn: Callable,
+                 n_iter_per_epoch: int, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.loss_fn = loss_fn
+        self.mesh = mesh if mesh is not None else make_mesh()
+        world = self.mesh.devices.size
+        self.tx, self.lr_schedule = make_optimizer(cfg, n_iter_per_epoch,
+                                                   world_size=world)
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._jit_train = jax.jit(
+            self._train_step,
+            in_shardings=(self._repl, self._make_batch_shardings(), None),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,))
+        self._jit_eval = jax.jit(
+            self._eval_step,
+            in_shardings=(self._repl, self._make_batch_shardings()),
+            out_shardings=self._repl)
+
+    # -- init ---------------------------------------------------------------
+    def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+        variables = self.model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            example_batch["points"], example_batch["mask"],
+            example_batch["features"], train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.tx.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state)
+        return jax.device_put(state, self._repl)
+
+    def _make_batch_shardings(self):
+        # pytree-of-dict prefix: shard every leaf on the leading (batch) axis
+        return self._batch_sh
+
+    # -- steps --------------------------------------------------------------
+    def _apply(self, params, batch_stats, batch, train: bool, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mut = self.model.apply(
+                variables, batch["points"], batch["mask"], batch["features"],
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            return out, mut["batch_stats"]
+        out = self.model.apply(
+            variables, batch["points"], batch["mask"], batch["features"],
+            train=False)
+        return out, batch_stats
+
+    def _compute_loss(self, pred, batch):
+        return self.loss_fn(pred, batch["offsets"], batch["mask"],
+                            batch["points"])
+
+    def _train_step(self, state: TrainState, batch: Dict, rng
+                    ) -> Tuple[TrainState, jnp.ndarray]:
+        def loss_fn(params):
+            pred, new_bs = self._apply(params, state.batch_stats, batch,
+                                       True, rng)
+            return self._compute_loss(pred, batch), new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, loss
+
+    def _eval_step(self, state: TrainState, batch: Dict) -> jnp.ndarray:
+        pred, _ = self._apply(state.params, state.batch_stats, batch, False,
+                              None)
+        return self._compute_loss(pred, batch)
+
+    # -- public -------------------------------------------------------------
+    def train_step(self, state, batch, rng):
+        batch = jax.device_put(batch, self._batch_sh)
+        return self._jit_train(state, batch, rng)
+
+    def eval_step(self, state, batch):
+        batch = jax.device_put(batch, self._batch_sh)
+        return self._jit_eval(state, batch)
+
+    def predict(self, state, batch):
+        pred, _ = self._apply(state.params, state.batch_stats, batch, False,
+                              None)
+        return pred
