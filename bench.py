@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: denoised points/sec/chip on the flagship offset-regression
+U-Net (l1.yaml geometry: 500-point patches, width 144).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is measured against the BASELINE.md north-star of >=10x the
+CPU points/sec: a subprocess measures the same forward pass on the CPU
+backend, and vs_baseline = tpu_pps / (10 * cpu_pps).  >= 1.0 means the
+target is met.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BATCH = 16
+WARMUP = 2
+ITERS = 10
+
+
+def measure_forward_pps(iters: int = ITERS, batch: int = BATCH) -> float:
+    import jax
+    from __graft_entry__ import _example_batch, _flagship_config
+    from deep3dpointclouddenoising_tpu.models import build_offset_regression
+
+    cfg = _flagship_config()
+    model, _ = build_offset_regression(cfg)
+    b = _example_batch(cfg, batch_size=batch)
+    variables = model.init(jax.random.PRNGKey(0), b["points"], b["mask"],
+                           b["features"], train=False)
+
+    @jax.jit
+    def forward(points, mask, features):
+        return model.apply(variables, points, mask, features, train=False)
+
+    args = (jax.device_put(b["points"]), jax.device_put(b["mask"]),
+            jax.device_put(b["features"]))
+    for _ in range(WARMUP):
+        forward(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(*args)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    points_per_iter = batch * int(cfg.num_points)
+    return points_per_iter * iters / dt
+
+
+def _cpu_baseline_pps() -> float:
+    """Measure the same forward on the CPU backend in a subprocess."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    code = ("import bench, json;"
+            "print(json.dumps(bench.measure_forward_pps(iters=3, batch=4)))")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1200)
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return float("nan")
+
+
+def main():
+    pps = measure_forward_pps()
+    cpu_pps = _cpu_baseline_pps()
+    vs = pps / (10.0 * cpu_pps) if cpu_pps == cpu_pps else None
+    print(json.dumps({
+        "metric": "denoised_points_per_sec_chip",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

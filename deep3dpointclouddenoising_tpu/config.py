@@ -17,35 +17,58 @@ from typing import Any, Dict, Optional
 import yaml
 
 
-class Config(dict):
-    """A dict with attribute access (stand-in for easydict).
+class Config:
+    """Attribute/item-access config node (stand-in for easydict).
 
-    Nested dicts are converted recursively so ``cfg.pseudo_grid.KP_extent``
-    works like the reference's edict-based config.
+    Deliberately NOT a dict subclass: flax converts dict-typed module
+    attributes into FrozenDict (losing attribute access), so models can take
+    a ``cfg: Config`` field only if Config is an opaque object.  Hash/eq are
+    identity-based, which keeps jit re-tracing sane when the same config
+    object is reused.
     """
 
     def __init__(self, *args, **kwargs):
-        super().__init__()
+        object.__setattr__(self, "_data", {})
         for src in list(args) + [kwargs]:
-            for k, v in dict(src).items():
+            items = src.items() if isinstance(src, (dict, Config)) else src
+            for k, v in items:
                 self[k] = v
 
     def __setitem__(self, key, value):
-        if isinstance(value, dict) and not isinstance(value, Config):
+        if isinstance(value, dict):
             value = Config(value)
-        super().__setitem__(key, value)
+        self._data[key] = value
+
+    def __getitem__(self, key):
+        return self._data[key]
+
+    def __contains__(self, key):
+        return key in self._data
 
     def __setattr__(self, key, value):
         self[key] = value
 
     def __getattr__(self, key):
         try:
-            return self[key]
+            return object.__getattribute__(self, "_data")[key]
         except KeyError as e:
             raise AttributeError(key) from e
 
+    def items(self):
+        return self._data.items()
+
+    def keys(self):
+        return self._data.keys()
+
+    def to_dict(self) -> dict:
+        return {k: (v.to_dict() if isinstance(v, Config) else v)
+                for k, v in self._data.items()}
+
     def copy(self) -> "Config":
-        return copy.deepcopy(self)
+        return Config(copy.deepcopy(self.to_dict()))
+
+    def __repr__(self):
+        return f"Config({self._data!r})"
 
 
 def default_config() -> Config:

@@ -1,0 +1,67 @@
+"""Batching + background prefetch (host side).
+
+Replaces torch DataLoader + DistributedSampler (train_dist.py:244-259): a
+thread prefetches numpy batches while the device computes; under the 1-D
+mesh the global batch is simply sharded on its leading axis by the trainer
+(every host sees the full table — single-controller JAX).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class BatchLoader:
+    """Iterate batches of a dataset exposing ``get(idx, epoch)``/``__len__``.
+
+    drop_last=True mirrors the reference train loader (train_dist.py:251).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _indices(self):
+        n = len(self.dataset)
+        usable = (n // self.batch_size) * self.batch_size if self.drop_last \
+            else n
+        for s in range(0, usable, self.batch_size):
+            yield range(s, min(s + self.batch_size, n))
+
+    def epoch_iter(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for idxs in self._indices():
+                    q.put(collate([self.dataset.get(i, epoch) for i in idxs]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def __iter__(self):
+        return self.epoch_iter(getattr(self.dataset, "epoch", 0))

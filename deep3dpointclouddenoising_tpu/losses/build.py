@@ -66,11 +66,15 @@ def get_complete_denoising_loss(name: str, in_radius: float) -> LossFn:
             lc = masked_binary_cross_entropy(pred_outlier, outlier_labels,
                                              jnp.ones_like(mask))
         elif name == "Weighted_L1_classification":
-            # offsets count only for predicted/true inliers: the reference
-            # masks the L1 by mask * (1 - outlier_label)
-            # (train_offset_outliers.py:316-320)
-            lo = masked_l1_loss(pred_offsets, offsets,
-                                mask * (1.0 - outlier_labels))
+            # offset L1 is masked by (valid OR predicted-outlier): the
+            # reference ORs the padding mask with heaviside(oi - 0.5)
+            # (train_offset_outliers.py:316-320); the predicted mask is
+            # non-differentiable there (bool cast), so stop_gradient here.
+            import jax
+            pred_is_outlier = jax.lax.stop_gradient(
+                (pred_outlier >= 0.5).astype(mask.dtype))
+            new_mask = jnp.maximum(mask, pred_is_outlier)
+            lo = masked_l1_loss(pred_offsets, offsets, new_mask)
             lc = masked_binary_cross_entropy(pred_outlier, outlier_labels,
                                              jnp.ones_like(mask))
         elif name == "double_weight":

@@ -1,0 +1,54 @@
+"""Orbax checkpointing of the full train state.
+
+Fixes a reference defect on purpose: the reference saves optimizer +
+scheduler but never restores them on resume
+(/root/reference/u_net_arch/train_dist.py:270-271 are commented out).  Here
+resume restores the complete pytree: params, batch stats, optimizer state,
+and step.  Layout mirrors the reference's ``current.pth`` + periodic
+``ckpt_epoch_N`` files (:279-291).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(log_dir: str, epoch: int, state: Any,
+                    save_freq: int = 10) -> None:
+    ckpt = _checkpointer()
+    state = jax.device_get(state)
+    current = os.path.join(os.path.abspath(log_dir), "current")
+    ckpt.save(current, state, force=True)
+    if save_freq and epoch % save_freq == 0:
+        ckpt.save(os.path.join(os.path.abspath(log_dir),
+                               f"ckpt_epoch_{epoch}"), state, force=True)
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a state pytree; ``target`` provides structure/dtypes."""
+    ckpt = _checkpointer()
+    path = os.path.abspath(path)
+    if target is not None:
+        return ckpt.restore(path, item=jax.device_get(target))
+    return ckpt.restore(path)
+
+
+def latest_epoch_checkpoint(log_dir: str) -> Optional[str]:
+    if not os.path.isdir(log_dir):
+        return None
+    best, best_ep = None, -1
+    for name in os.listdir(log_dir):
+        if name.startswith("ckpt_epoch_"):
+            ep = int(name.split("_")[-1])
+            if ep > best_ep:
+                best, best_ep = os.path.join(log_dir, name), ep
+    if best is None and os.path.isdir(os.path.join(log_dir, "current")):
+        return os.path.join(log_dir, "current")
+    return best

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Full-shape denoising inference (qualitative_inference_test.py equivalent).
+
+Loads a checkpoint, covers each qualitative_test shape with overlapping
+patches, vote-averages offsets, and writes noisy/denoised/clean PLY trees
+(/root/reference/u_net_arch/qualitative_inference_test.py:513-588).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from deep3dpointclouddenoising_tpu.config import load_config
+from deep3dpointclouddenoising_tpu.data.meshio import write_ply
+from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
+from deep3dpointclouddenoising_tpu.infer import (
+    clean_clouds, denoise_clouds, make_predict_fn)
+from deep3dpointclouddenoising_tpu.models import (
+    build_complete_denoising, build_offset_regression)
+from deep3dpointclouddenoising_tpu.utils.checkpoint import load_checkpoint
+
+
+def main():
+    p = argparse.ArgumentParser("Qualitative full-shape inference")
+    p.add_argument("--config_file", type=str, required=True)
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--out_dir", type=str, default="inference_out")
+    p.add_argument("--full_cleaning", action="store_true")
+    args = p.parse_args()
+
+    cfg = load_config(args.config_file)
+    cfg.data_root = args.data_root
+
+    dataset = OffsetDataset(
+        cfg.data_root, "qualitative_test", in_radius=cfg.in_radius,
+        num_points=cfg.num_points, num_steps=1, num_epochs=1,
+        noise_type=cfg.noise_type, noise_level=cfg.noise_level,
+        num_points_per_shape=cfg.num_points_per_shape,
+        outlier_proportion=cfg.outlier_percentage,
+        sample_dl_patches=cfg.sample_Dl_patches, seed=cfg.rng_seed)
+
+    build = build_complete_denoising if args.full_cleaning \
+        else build_offset_regression
+    model, _ = build(cfg)
+    sample = dataset.get(0)
+    variables = model.init(
+        jax.random.PRNGKey(0), sample["points"][None], sample["mask"][None],
+        sample["features"][None], train=False)
+    state = load_checkpoint(args.checkpoint)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    predict = make_predict_fn(model, variables)
+
+    fn = clean_clouds if args.full_cleaning else denoise_clouds
+    results = fn(predict, dataset, batch_size=cfg.batch_size)
+
+    for sub in ("noisy", "denoised", "clean"):
+        os.makedirs(os.path.join(args.out_dir, sub), exist_ok=True)
+    for name, res in zip(dataset.cloud_names, results):
+        base = os.path.basename(name)
+        shape = dataset.shapes[dataset.cloud_names.index(name)]
+        write_ply(os.path.join(args.out_dir, "noisy", base + ".ply"),
+                  [res["noisy"], res["labels"].astype(np.float32)],
+                  ["vertex", "gt_outlier"])
+        write_ply(os.path.join(args.out_dir, "denoised", base + ".ply"),
+                  [res["denoised"]], ["vertex"])
+        clean = shape.points + shape.offsets
+        write_ply(os.path.join(args.out_dir, "clean", base + ".ply"),
+                  [clean], ["vertex"])
+        print(f"wrote {base}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Offset-regression training CLI.
+
+TPU-native equivalent of /root/reference/u_net_arch/train_dist.py: same
+config surface (YAML + overrides + derived geometry), but the runtime is a
+single-controller jitted train step over a device mesh instead of one
+process per GPU with DDP.
+
+Usage:
+  python scripts/train.py --config_file cfgs/l1.yaml --data_root <shapes>
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from deep3dpointclouddenoising_tpu.config import load_config
+from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
+from deep3dpointclouddenoising_tpu.data.transforms import \
+    build_train_transforms
+from deep3dpointclouddenoising_tpu.models import build_offset_regression
+from deep3dpointclouddenoising_tpu.train import Trainer
+from deep3dpointclouddenoising_tpu.utils.checkpoint import (
+    load_checkpoint, save_checkpoint)
+from deep3dpointclouddenoising_tpu.utils.logger import setup_logger
+from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
+
+
+def parse_args():
+    p = argparse.ArgumentParser("Offset regression training")
+    p.add_argument("--config_file", type=str, required=True)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--num_points", type=int)
+    p.add_argument("--num_steps", type=int)
+    p.add_argument("--base_learning_rate", type=float)
+    p.add_argument("--weight_decay", type=float)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--start_epoch", type=int)
+    p.add_argument("--load_path", type=str, default="")
+    p.add_argument("--log_dir", type=str, default="log")
+    p.add_argument("--rng_seed", type=int, default=0)
+    p.add_argument("--DEBUG", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k in
+                 ("batch_size", "num_points", "num_steps", "epochs",
+                  "start_epoch", "base_learning_rate", "weight_decay",
+                  "load_path", "log_dir", "rng_seed", "DEBUG")}
+    cfg = load_config(args.config_file, overrides)
+    if args.data_root:
+        cfg.data_root = args.data_root
+    cfg.log_dir = os.path.join(args.log_dir, cfg.experiment_name or "run")
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    logger = setup_logger(cfg.log_dir)
+    logger.info(json.dumps({k: str(v) for k, v in cfg.items()}, indent=1))
+
+    transforms = build_train_transforms(cfg)
+    common = dict(
+        in_radius=cfg.in_radius, num_points=cfg.num_points,
+        noise_type=cfg.noise_type, noise_level=cfg.noise_level,
+        num_points_per_shape=cfg.num_points_per_shape,
+        outlier_proportion=cfg.outlier_percentage,
+        debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
+    train_ds = OffsetDataset(cfg.data_root, "train", num_steps=cfg.num_steps,
+                             num_epochs=cfg.epochs, transforms=transforms,
+                             **common)
+    val_ds = OffsetDataset(cfg.data_root, "val", num_steps=cfg.num_steps,
+                           num_epochs=1, **common)
+    logger.info(f"train patches: {len(train_ds)}, val: {len(val_ds)}")
+
+    train_loader = BatchLoader(train_ds, cfg.batch_size, drop_last=True)
+    val_loader = BatchLoader(val_ds, cfg.batch_size, drop_last=False)
+
+    model, loss_fn = build_offset_regression(cfg)
+    trainer = Trainer(cfg, model, loss_fn, n_iter_per_epoch=len(train_loader))
+
+    rng = jax.random.PRNGKey(cfg.rng_seed)
+    example = next(iter(train_loader.epoch_iter(0)))
+    state = trainer.init_state(rng, example)
+
+    if cfg.load_path:
+        state = load_checkpoint(cfg.load_path, state)
+        logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")
+
+    norm_factor = cfg.in_radius / 100.0
+
+    for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
+        tic = time.time()
+        meter, batch_meter = AverageMeter(), AverageMeter()
+        end = time.time()
+        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+            if cfg.norm:  # train_dist.py:322-326
+                for k in ("points", "offsets", "features"):
+                    batch[k] = batch[k] / norm_factor
+            step_rng = jax.random.fold_in(rng, int(state.step))
+            state, loss = trainer.train_step(state, batch, step_rng)
+            meter.update(float(loss), len(batch["points"]))
+            batch_meter.update(time.time() - end)
+            end = time.time()
+            if it % cfg.print_freq == 0:
+                logger.info(
+                    f"Train [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
+                    f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
+                    f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s "
+                    f"lr {float(trainer.lr_schedule(int(state.step))):.6f}")
+
+        if epoch % cfg.val_freq == 0:
+            vmeter = AverageMeter()
+            for batch in val_loader.epoch_iter(0):
+                if cfg.norm:
+                    for k in ("points", "offsets", "features"):
+                        batch[k] = batch[k] / norm_factor
+                vloss = trainer.eval_step(state, batch)
+                vmeter.update(float(vloss), len(batch["points"]))
+            logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
+
+        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+
+
+if __name__ == "__main__":
+    main()

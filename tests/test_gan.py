@@ -1,0 +1,90 @@
+"""GAN trainer + complete-denoising loss tests (tiny model sizes)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep3dpointclouddenoising_tpu.config import default_config
+from deep3dpointclouddenoising_tpu.losses.build import (
+    get_complete_denoising_loss)
+from deep3dpointclouddenoising_tpu.models import (
+    build_discriminator, build_offset_regression)
+from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
+
+
+def tiny_cfg():
+    cfg = default_config()
+    cfg.num_points = 32
+    cfg.width = 8
+    cfg.depth = 1
+    cfg.radius = 0.3
+    cfg.sampleDl = 0.08
+    cfg.nsamples = [4, 4, 4, 4, 4]
+    cfg.npoints = [8, 4, 2, 1]
+    cfg.local_aggregation_type = "pseudo_grid"
+    cfg.head = "offset_reg_head"
+    cfg.head_discriminator = "discriminator_head"
+    cfg.loss = "L1"
+    cfg.optimizer = "adam"
+    cfg.base_learning_rate = 1e-3
+    cfg.lr_scheduler = "step"
+    cfg.warmup_epoch = -1
+    cfg.epochs = 4
+    return cfg
+
+
+def make_batch(rng, B=2, N=32):
+    xyz = rng.random((B, N, 3), dtype=np.float32) * 2 - 1
+    return {"points": xyz, "mask": np.ones((B, N), np.float32),
+            "features": xyz.copy(),
+            "offsets": rng.normal(size=(B, N, 3)).astype(np.float32) * 0.02}
+
+
+def test_gan_update_runs(rng):
+    cfg = tiny_cfg()
+    gen, gen_loss = build_offset_regression(cfg)
+    disc, _ = build_discriminator(cfg)
+    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4)
+    batch = make_batch(rng)
+    gs, ds = trainer.init_states(jax.random.PRNGKey(0), batch)
+    gs2, ds2, metrics = trainer.update(gs, ds, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["err_g"]))
+    assert np.isfinite(float(metrics["err_d"]))
+    assert 0.0 <= float(metrics["disc_accuracy"]) <= 1.0
+    # both nets actually updated
+    assert int(gs2.step) == 1 and int(ds2.step) == 1
+    d0 = jax.tree_util.tree_leaves(ds.params)[0]
+    d1 = jax.tree_util.tree_leaves(ds2.params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_discriminator_pretrain_step(rng):
+    cfg = tiny_cfg()
+    gen, gen_loss = build_offset_regression(cfg)
+    disc, _ = build_discriminator(cfg)
+    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4)
+    batch = make_batch(rng)
+    _, ds = trainer.init_states(jax.random.PRNGKey(0), batch)
+    ds2, loss = trainer.pretrain_step(ds, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    acc = trainer.pretrain_accuracy(ds2, batch)
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_complete_denoising_losses(rng):
+    B, N = 2, 16
+    raw = rng.normal(size=(B, N, 4)).astype(np.float32)
+    offs = rng.normal(size=(B, N, 3)).astype(np.float32) * 0.02
+    labels = (rng.random((B, N)) > 0.6).astype(np.float32)
+    mask = np.ones((B, N), np.float32)
+    mask[:, 12:] = 0
+    for name in ("L1_classification", "Weighted_L1_classification",
+                 "double_weight"):
+        loss_fn = get_complete_denoising_loss(name, in_radius=2.0)
+        val = loss_fn(jnp.asarray(raw), jnp.asarray(offs),
+                      jnp.asarray(labels), jnp.asarray(mask))
+        assert np.isfinite(float(val)), name
+        # gradient flows through the 4-dim head output
+        g = jax.grad(lambda r: loss_fn(r, jnp.asarray(offs),
+                                       jnp.asarray(labels),
+                                       jnp.asarray(mask)))(jnp.asarray(raw))
+        assert float(jnp.sum(jnp.abs(g))) > 0, name

@@ -1,0 +1,69 @@
+"""Voting inference + evaluation-table tests."""
+import numpy as np
+import pytest
+
+from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
+from deep3dpointclouddenoising_tpu.data.synthetic import make_icosphere
+from deep3dpointclouddenoising_tpu.evaluate import (
+    chamfer_ratio_table, performance_table)
+from deep3dpointclouddenoising_tpu.infer import (
+    denoise_clouds, predict_offsets_voting)
+
+
+@pytest.fixture(scope="module")
+def test_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("shapes_test"))
+    return OffsetDataset(
+        root, "qualitative_test", in_radius=0.4, num_points=128,
+        num_steps=4, num_epochs=1, noise_type="gaussian", noise_level=5e-3,
+        num_points_per_shape=2000, outlier_proportion=0.0, seed=0,
+        sample_dl_patches=0.3,
+        shapes={"qualitative_test/sphere": make_icosphere(2)})
+
+
+def test_voting_covers_every_point(test_dataset):
+    # patch centers grid-cover the shape; with in_radius 0.4 on a unit
+    # sphere every point lands in at least one patch
+    def zero_pred(batch):
+        return np.zeros(batch["points"].shape[:2] + (3,), np.float32)
+
+    votes = predict_offsets_voting(zero_pred, test_dataset, batch_size=2)
+    assert len(votes) == 1
+    assert votes[0].shape == (2000, 3)
+
+
+def test_oracle_predictor_denoises(test_dataset):
+    # feed the ground-truth offsets back as "predictions": the vote-average
+    # must reconstruct (near-)clean clouds
+    ds = test_dataset
+
+    def oracle(batch):
+        return batch["offsets"]
+
+    results = denoise_clouds(oracle, ds, batch_size=2)
+    res = results[0]
+    gt_denoised = ds.shapes[0].points + ds.shapes[0].offsets
+    covered = np.linalg.norm(res["offsets"], axis=1) > 0
+    # vote-averaging identical GT votes is exact where covered
+    err = np.linalg.norm(res["denoised"][covered] - gt_denoised[covered],
+                         axis=1)
+    assert np.max(err) < 1e-4
+
+
+def test_chamfer_ratio_table_improvement(rng):
+    clean = [rng.random((500, 3), dtype=np.float32)]
+    noisy = [clean[0] + rng.normal(size=(500, 3)).astype(np.float32) * 0.01]
+    denoised = [clean[0] + rng.normal(size=(500, 3)).astype(np.float32)
+                * 0.001]
+    table = chamfer_ratio_table(clean, noisy, denoised, names=["s"])
+    assert table["s"]["ratio"] < 0.2
+    assert table["mean"]["ratio"] == pytest.approx(table["s"]["ratio"])
+
+
+def test_performance_table(rng):
+    clean = [rng.random((400, 3), dtype=np.float32)]
+    noisy = [np.concatenate([clean[0][:360],
+                             clean[0][:40] + 0.5])]  # 10% far outliers
+    table = performance_table(clean, noisy)
+    assert table["shape_0"]["outlier_ratio"] == pytest.approx(0.1, abs=0.02)
+    assert table["mean"]["noise_ratio"] < 0.1

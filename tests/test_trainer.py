@@ -1,0 +1,113 @@
+"""Trainer tests: optimizer/schedule semantics, data-parallel equivalence on
+the virtual 8-device CPU mesh, and an overfit-one-patch convergence check
+(the debugging.yaml analogue, SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep3dpointclouddenoising_tpu.config import default_config
+from deep3dpointclouddenoising_tpu.models import build_offset_regression
+from deep3dpointclouddenoising_tpu.parallel.mesh import make_mesh
+from deep3dpointclouddenoising_tpu.train import Trainer
+from deep3dpointclouddenoising_tpu.train.lr_schedule import get_lr_schedule
+
+
+def tiny_cfg():
+    cfg = default_config()
+    cfg.num_points = 64
+    cfg.width = 16
+    cfg.depth = 2
+    cfg.radius = 0.2
+    cfg.sampleDl = 0.05
+    cfg.nsamples = [8, 8, 8, 8, 8]
+    cfg.npoints = [16, 8, 4, 2]
+    cfg.local_aggregation_type = "pseudo_grid"
+    cfg.head = "offset_reg_head"
+    cfg.loss = "L1"
+    cfg.optimizer = "adam"
+    cfg.base_learning_rate = 1e-3
+    cfg.lr_scheduler = "step"
+    cfg.warmup_epoch = -1
+    cfg.epochs = 10
+    cfg.batch_size = 8
+    cfg.weight_decay = 0.0
+    return cfg
+
+
+def make_batch(rng, B=8, N=64):
+    xyz = (rng.random((B, N, 3), dtype=np.float32) * 2 - 1)
+    mask = np.ones((B, N), np.float32)
+    offs = rng.normal(size=(B, N, 3)).astype(np.float32) * 0.02
+    return {"points": xyz, "mask": mask, "features": xyz.copy(),
+            "offsets": offs}
+
+
+def test_lr_schedule_step_and_warmup():
+    cfg = tiny_cfg()
+    cfg.lr_decay_steps = 2
+    cfg.lr_decay_rate = 0.5
+    cfg.epochs = 10
+    sched = get_lr_schedule(cfg, n_iter_per_epoch=10, base_lr=1.0)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(19)) == pytest.approx(1.0)   # before first milestone
+    assert float(sched(20)) == pytest.approx(0.5)   # epoch 2 boundary
+    assert float(sched(40)) == pytest.approx(0.25)
+
+    cfg.warmup_epoch = 2
+    cfg.warmup_multiplier = 100
+    sched = get_lr_schedule(cfg, n_iter_per_epoch=10, base_lr=1.0)
+    assert float(sched(0)) == pytest.approx(0.01)
+    assert float(sched(20)) == pytest.approx(1.0)   # end of warmup
+
+
+def test_cosine_schedule():
+    cfg = tiny_cfg()
+    cfg.lr_scheduler = "cosine"
+    cfg.warmup_epoch = -1
+    sched = get_lr_schedule(cfg, n_iter_per_epoch=10, base_lr=1.0)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(100)) == pytest.approx(1e-6, abs=1e-6)
+
+
+def test_multidevice_matches_single_device(rng):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cfg = tiny_cfg()
+    model, loss_fn = build_offset_regression(cfg)
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(0)
+
+    t1 = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(1))
+    t8 = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(8))
+    s1 = t1.init_state(key, batch)
+    s8 = t8.init_state(key, batch)
+
+    losses1, losses8 = [], []
+    for i in range(3):
+        r = jax.random.PRNGKey(100 + i)
+        s1, l1 = t1.train_step(s1, batch, r)
+        s8, l8 = t8.train_step(s8, batch, r)
+        losses1.append(float(l1))
+        losses8.append(float(l8))
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+    # params agree after 3 steps
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_overfit_single_batch(rng):
+    cfg = tiny_cfg()
+    cfg.base_learning_rate = 3e-3
+    model, loss_fn = build_offset_regression(cfg)
+    batch = make_batch(rng, B=4)
+    trainer = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(1))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    first = None
+    for i in range(60):
+        state, loss = trainer.train_step(state, batch,
+                                         jax.random.PRNGKey(i))
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.5 * first, (first, float(loss))
