@@ -67,6 +67,10 @@ def test_offset_model_forward(rng, agg):
     cfg = tiny_config(local_aggregation_type=agg)
     if agg == "pospool":
         cfg.pospool.reduction = "avg"
+        # pospool 'xyz' embedding needs channels divisible by 3 at every
+        # stage (stem = width/2), like the reference (view(B, C//3, 3, ...),
+        # local_aggregation_operators.py:145); width 24 -> stem 12.
+        cfg.width = 24
     xyz, mask, feats = tiny_batch(rng)
     model = OffsetRegressionModel(cfg=cfg)
     variables = model.init(jax.random.PRNGKey(0), xyz, mask, feats,

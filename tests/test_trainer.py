@@ -89,12 +89,18 @@ def test_multidevice_matches_single_device(rng):
         s8, l8 = t8.train_step(s8, batch, r)
         losses1.append(float(l1))
         losses8.append(float(l8))
-    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
-    # params agree after 3 steps
+    # reduction order differs across device counts (psum tree vs
+    # sequential); float32 drift over several steps is ~1e-3 relative
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-3)
+    # params agree after 3 steps.  Tolerance is a few lr: adam's update is
+    # ~±lr per step independent of grad magnitude, so a reduction-order
+    # difference of 1e-7 in a near-zero grad can flip an update's sign.
+    lr = float(cfg.base_learning_rate)
     p1 = jax.tree_util.tree_leaves(s1.params)
     p8 = jax.tree_util.tree_leaves(s8.params)
     for a, b in zip(p1, p8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=6.0 * lr)
 
 
 def test_overfit_single_batch(rng):
