@@ -25,9 +25,8 @@ import pickle
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy.spatial import cKDTree
 
-from ..ops.subsample import grid_subsample_numpy
+from ..utils.native import GridIndex, grid_subsample
 from .meshio import TriMesh, closest_point_on_mesh, load_off, \
     sample_surface_even
 
@@ -47,7 +46,11 @@ class ShapeData:
     points: np.ndarray    # (P, 3) noisy positions
     labels: np.ndarray    # (P,) int32: 1 = outlier
     offsets: np.ndarray   # (P, 3) GT offsets (denoised = noisy + offset)
-    tree: cKDTree
+
+    def __getstate__(self):
+        # spatial indexes (non-picklable native handles) are rebuilt by the
+        # dataset after unpickling
+        return {k: v for k, v in self.__dict__.items() if k != "index"}
 
 
 def _add_noise(pos: np.ndarray, gt: np.ndarray, noise_type: str,
@@ -126,10 +129,9 @@ def process_off_file(filepath: str, num_points_per_shape: int,
         # labels become "offset larger than max σ" (offset_dataset.py:256-258)
         gt = (np.linalg.norm(offsets, axis=1) > 2.5 / 100.0).astype(np.int32)
 
-    tree = cKDTree(noisy)
     return ShapeData(mesh=shape, points=noisy.astype(np.float32),
                      labels=gt.astype(np.int32),
-                     offsets=offsets.astype(np.float32), tree=tree)
+                     offsets=offsets.astype(np.float32))
 
 
 def _interleave(a_pts, a_clouds, b_pts, b_clouds):
@@ -221,6 +223,10 @@ class OffsetDataset:
                     outlier_proportion,
                     mesh=None if shapes is None else shapes[name]))
 
+        # native uniform-grid spatial index per shape (utils/native.py);
+        # the per-sample radius query is the host-side hot path
+        self.indexes = [GridIndex(s.points, cell=in_radius)
+                        for s in self.shapes]
         self._build_patch_table(sample_dl_patches)
 
     # -- shape cache --------------------------------------------------------
@@ -264,11 +270,12 @@ class OffsetDataset:
         else:
             pts_ls, cloud_ls = [], []
             for i, s in enumerate(self.shapes):
-                sub = grid_subsample_numpy(s.points, sample_dl_patches)
+                sub = grid_subsample(s.points, sample_dl_patches)
                 if self.architecture == "PCN":
                     inds = np.arange(len(s.points))
                 else:
-                    _, inds = s.tree.query(sub, k=1)
+                    inds = np.array([self.indexes[i].nearest(c)
+                                     for c in sub])
                 pts_ls.append(np.asarray(inds).ravel())
                 cloud_ls.append(np.full(len(pts_ls[-1]), i))
             self.point_inds = np.concatenate(pts_ls)
@@ -291,13 +298,14 @@ class OffsetDataset:
 
         pick = shape.points[point_ind].reshape(1, 3) \
             + self.center_noise[index].astype(np.float32)
-        # sorted-by-distance radius query (:630-633), retry doubled (:640-652)
-        inds = shape.tree.query_ball_point(pick[0], r=self.in_radius)
-        if not inds:
-            inds = shape.tree.query_ball_point(pick[0], r=2 * self.in_radius)
-        inds = np.asarray(inds)
-        d = np.linalg.norm(shape.points[inds] - pick, axis=1)
-        query_inds = inds[np.argsort(d, kind="stable")]
+        # sorted-by-distance radius query (:630-633), retry doubled
+        # (:640-652); sorting happens inside the native index
+        index = self.indexes[cloud_ind]
+        query_inds, total = index.query_radius_sorted(pick[0], self.in_radius)
+        if total == 0:
+            query_inds, _ = index.query_radius_sorted(pick[0],
+                                                      2 * self.in_radius)
+        query_inds = query_inds.astype(np.int64)
         cur = len(query_inds)
 
         if self.num_points < cur:

@@ -20,10 +20,11 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e10)
+_BIG = np.float32(1e10)  # np, not jnp: no backend init at import time
 
 
 def _nn_one_way(x: jnp.ndarray, y: jnp.ndarray, y_mask: jnp.ndarray,

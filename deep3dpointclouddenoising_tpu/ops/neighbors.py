@@ -24,10 +24,11 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e10)
+_BIG = np.float32(1e10)  # np, not jnp: no backend init at import time
 
 
 def _auto_chunk(m: int, n: int, budget: int = 1 << 22) -> int:

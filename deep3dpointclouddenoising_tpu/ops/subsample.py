@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 _LCG_A, _LCG_B, _LCG_MOD = 17, 139, 256
-_INVALID = jnp.int32(2 ** 30)
+_INVALID = np.int32(2 ** 30)  # np, not jnp: no backend init at import time
 
 
 @functools.lru_cache(maxsize=32)
