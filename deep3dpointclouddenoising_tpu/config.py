@@ -120,6 +120,9 @@ def default_config() -> Config:
     c.depth = 2
     c.bottleneck_ratio = 2
     c.bn_momentum = 0.1  # torch convention: running = (1-m)*running + m*new
+    # pallas kernels for hot ops: "auto" = on when running on TPU,
+    # 0/1 force off/on (forced-on + CPU backend runs in interpret mode)
+    c.use_pallas = "auto"
     # -- data ---------------------------------------------------------------
     c.datasets = "modelnet40"
     c.dataset = "PCN"

@@ -17,14 +17,25 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import Config
 from ..ops import group_features
+from ..ops.pallas_kpconv import kpconv_aggregate
 from .kernel_points import create_kernel_points
 from .layers import BNReLU, ConvBN
 from .pyramid import Neighborhood
+
+
+def _pallas_mode(cfg: Config):
+    """Resolve cfg.use_pallas: returns (use_fused, interpret)."""
+    flag = getattr(cfg, "use_pallas", "auto")
+    on_cpu = jax.default_backend() == "cpu"
+    if flag == "auto":
+        return (not on_cpu), False
+    return bool(flag), on_cpu
 
 
 def _feature_mask(nbr: Neighborhood, query_mask: jnp.ndarray) -> jnp.ndarray:
@@ -75,34 +86,44 @@ class PseudoGrid(nn.Module):
             k_radius, pg.num_kernel_points, fixed=pg.fixed_kernel_points,
             seed=int(self.cfg.rng_seed)))  # (K_kp, 3)
 
-        grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
-        # influence weights (B, M, K, K_kp)
-        diff = nbr.rel_xyz[..., None, :] - kpoints[None, None, None, :, :]
-        sq = jnp.sum(diff * diff, axis=-1)
-        if pg.KP_influence == "constant":
-            w = jnp.ones_like(sq)
-        elif pg.KP_influence == "linear":
-            w = jnp.maximum(1.0 - jnp.sqrt(sq) / extent, 0.0)
-        elif pg.KP_influence == "gaussian":
-            sigma = extent * 0.3
-            w = jnp.exp(-sq / (2.0 * sigma * sigma + 1e-9))
-        else:
+        if pg.KP_influence not in ("constant", "linear", "gaussian"):
             raise ValueError(f"Unknown KP_influence {pg.KP_influence}")
         if pg.convolution_mode != "sum":
             raise NotImplementedError(
                 f"convolution_mode {pg.convolution_mode} not supported")
 
-        w = w * _feature_mask(nbr, query_mask)[..., None]
-
+        fmask = _feature_mask(nbr, query_mask)               # (B,M,K)
         c = self.in_channels
         kernel_weights = self.param(
             "kernel_weights",
             nn.initializers.truncated_normal(stddev=np.sqrt(2.0 / c)),
             (int(pg.num_kernel_points), c))
-        # [K_kp, K] x [K, C] per (b, m) on the MXU, then per-kernel-point
-        # channel weights and sum over kernel points (ref :499-503).
-        per_kp = jnp.einsum("bmkp,bmkc->bmpc", w, grouped)
-        out = jnp.einsum("bmpc,pc->bmc", per_kp, kernel_weights)
+
+        use_fused, interpret = _pallas_mode(self.cfg)
+        if use_fused:
+            # fused Pallas kernel: influence weights + both contractions
+            # stay in VMEM (ops/pallas_kpconv.py)
+            out = kpconv_aggregate(support_features, nbr.idx, nbr.rel_xyz,
+                                   fmask, kpoints, kernel_weights,
+                                   float(extent), pg.KP_influence, interpret)
+        else:
+            grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
+            # jnp oracle path: influence weights (B, M, K, K_kp) then
+            # [K_kp, K] x [K, C] per (b, m) on the MXU, then per-kernel-
+            # point channel weights and sum over kernel points (ref
+            # :499-503).
+            diff = nbr.rel_xyz[..., None, :] - kpoints[None, None, None, :, :]
+            sq = jnp.sum(diff * diff, axis=-1)
+            if pg.KP_influence == "constant":
+                w = jnp.ones_like(sq)
+            elif pg.KP_influence == "linear":
+                w = jnp.maximum(1.0 - jnp.sqrt(sq) / extent, 0.0)
+            else:
+                sigma = extent * 0.3
+                w = jnp.exp(-sq / (2.0 * sigma * sigma + 1e-9))
+            w = w * fmask[..., None]
+            per_kp = jnp.einsum("bmkp,bmkc->bmpc", w, grouped)
+            out = jnp.einsum("bmpc,pc->bmc", per_kp, kernel_weights)
 
         if pg.output_conv or self.in_channels != self.out_channels:
             out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
