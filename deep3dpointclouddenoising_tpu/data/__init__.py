@@ -9,4 +9,5 @@ from .transforms import (
     angle_axis,
 )
 from .offset_dataset import OffsetDataset, process_off_file
+from .outlier_dataset import OutlierSegmentationDataset, compute_katz
 from .loader import BatchLoader

@@ -1,4 +1,5 @@
-"""Offline evaluation: Chamfer-ratio tables + noise/outlier ratios.
+"""Offline evaluation: Chamfer-ratio tables, noise/outlier ratios, and the
+voting outlier-segmentation evaluator.
 
 Re-implements the reference benchmark tooling on device:
   * :func:`chamfer_ratio_table` — per-shape CD(clean, denoised) /
@@ -6,7 +7,13 @@ Re-implements the reference benchmark tooling on device:
     (/root/reference/u_net_arch/compute_cd.py:20-169);
   * :func:`performance_table` — noise ratio (mean NN distance to the clean
     cloud) and outlier ratio (fraction with NN distance > 0.05)
-    (/root/reference/u_net_arch/measure_performance.py:48-80).
+    (/root/reference/u_net_arch/measure_performance.py:48-80);
+  * :func:`evaluate_outlier_segmentation` — full-cloud voting evaluation of
+    a segmentation model: per-patch probabilities accumulated into per-point
+    vote buffers, projected onto the full clouds, uncertain points filled
+    from their nearest voted neighbor, confusion metrics
+    (/root/reference/u_net_arch/evaluate_dist.py:256-352, with the
+    accumulate-then-divide fix from qualitative_inference_test.py:325-343).
 """
 from __future__ import annotations
 
@@ -84,3 +91,73 @@ def format_cd_table(table: Dict[str, Dict[str, float]]) -> str:
         lines.append(f"{name:<40}{row['cd_denoised']:>15.6g}"
                      f"{row['cd_noisy']:>15.6g}{row['ratio']:>10.4f}")
     return "\n".join(lines)
+
+
+def evaluate_outlier_segmentation(predict_fn, dataset, *,
+                                  batch_size: int = 8,
+                                  write_dir: Optional[str] = None
+                                  ) -> Dict[str, float]:
+    """Voting full-cloud evaluation of an outlier-segmentation model.
+
+    Args:
+      predict_fn: (points, mask, features) -> (B, N, num_classes) logits.
+      dataset: an :class:`..data.outlier_dataset.OutlierSegmentationDataset`
+        with a test-style split (patch centers covering every cloud).
+      batch_size: forward batch size.
+      write_dir: if set, per-cloud PLYs with probabilities/preds/GT are
+        written there (evaluate_dist.py:356).
+
+    Returns the confusion-metric dict over all clouds (mIoU, precision,
+    recall, F-beta(beta^2=0.3), fdr, for — utils/metrics.py).
+    """
+    import jax.nn
+    from .data.loader import BatchLoader
+    from .utils.metrics import confusion_matrix, metrics_from_confusion
+    from .utils.native import GridIndex
+
+    num_classes = 2
+    vote_sum = [np.zeros((len(p), num_classes), np.float64)
+                for p in dataset.sub_points]
+    vote_cnt = [np.zeros(len(p), np.int64) for p in dataset.sub_points]
+
+    loader = BatchLoader(dataset, batch_size, drop_last=False)
+    for batch in loader.epoch_iter(0):
+        logits = predict_fn(batch["points"], batch["mask"],
+                            batch["features"])
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        masks = batch["mask"] > 0
+        for i in range(len(probs)):
+            c = int(batch["cloud_ind"][i])
+            inds = batch["input_inds"][i][masks[i]]
+            vote_sum[c][inds] += probs[i][masks[i]]
+            vote_cnt[c][inds] += 1
+
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for c, points in enumerate(dataset.clouds_points):
+        cnt = np.maximum(vote_cnt[c], 1)[:, None]
+        probs = vote_sum[c] / cnt
+        preds = probs.argmax(axis=1)
+        # uncertain points (never voted on) take the nearest voted
+        # neighbor's prediction (evaluate_dist.py:337-352)
+        unvoted = vote_cnt[c] == 0
+        if unvoted.any() and (~unvoted).any():
+            voted_pts = dataset.sub_points[c][~unvoted]
+            gi = GridIndex(voted_pts, cell=dataset.in_radius)
+            voted_preds = preds[~unvoted]
+            for j in np.nonzero(unvoted)[0]:
+                preds[j] = voted_preds[gi.nearest(dataset.sub_points[c][j])]
+        full_preds = preds[dataset.projections[c]]
+        labels = np.asarray(dataset.clouds_labels[c]).squeeze()
+        conf += confusion_matrix(labels, full_preds, num_classes)
+        if write_dir is not None:
+            import os
+            from .data.meshio import write_ply
+            os.makedirs(write_dir, exist_ok=True)
+            name = dataset.cloud_names[c].replace(os.sep, "_")
+            full_probs = probs[dataset.projections[c]][:, 1]
+            write_ply(os.path.join(write_dir, f"{name}_eval.ply"),
+                      [points, full_probs.astype(np.float32),
+                       full_preds.astype(np.float32),
+                       labels.astype(np.float32)],
+                      ["vertex", "proba", "pred", "GT"])
+    return metrics_from_confusion(conf)
