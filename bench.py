@@ -23,8 +23,14 @@ WARMUP = 2
 ITERS = 10
 
 
-def measure_forward_pps(iters: int = ITERS, batch: int = BATCH) -> float:
+def measure_forward_pps(iters: int = ITERS, batch: int = BATCH,
+                        platform: str | None = None) -> float:
     import jax
+    if platform:
+        # env-var JAX_PLATFORMS is ignored here: the container's
+        # sitecustomize force-sets jax_platforms after reading env vars, so
+        # the override must be a post-import config update.
+        jax.config.update("jax_platforms", platform)
     from __graft_entry__ import _example_batch, _flagship_config
     from deep3dpointclouddenoising_tpu.models import build_offset_regression
 
@@ -57,7 +63,8 @@ def _cpu_baseline_pps() -> float:
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     code = ("import bench, json;"
-            "print(json.dumps(bench.measure_forward_pps(iters=3, batch=4)))")
+            "print(json.dumps(bench.measure_forward_pps("
+            "iters=3, batch=4, platform='cpu')))")
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,

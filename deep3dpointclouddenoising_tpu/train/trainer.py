@@ -80,10 +80,18 @@ class Trainer:
     """
 
     def __init__(self, cfg: Config, model, loss_fn: Callable,
-                 n_iter_per_epoch: int, mesh=None):
+                 n_iter_per_epoch: int, mesh=None,
+                 loss_mode: str = "offset"):
+        """loss_mode selects the loss call signature:
+        'offset'        loss(pred, offsets, mask, points)   (train_dist.py)
+        'full_cleaning' loss(pred, offsets, labels, mask)
+                        (train_offset_outliers.py:298-325)
+        'segmentation'  loss(logits, labels, mask)          (scene seg)
+        """
         self.cfg = cfg
         self.model = model
         self.loss_fn = loss_fn
+        self.loss_mode = loss_mode
         self.mesh = mesh if mesh is not None else make_mesh()
         world = self.mesh.devices.size
         self.tx, self.lr_schedule = make_optimizer(cfg, n_iter_per_epoch,
@@ -132,6 +140,11 @@ class Trainer:
         return out, batch_stats
 
     def _compute_loss(self, pred, batch):
+        if self.loss_mode == "full_cleaning":
+            return self.loss_fn(pred, batch["offsets"], batch["labels"],
+                                batch["mask"])
+        if self.loss_mode == "segmentation":
+            return self.loss_fn(pred, batch["labels"], batch["mask"])
         return self.loss_fn(pred, batch["offsets"], batch["mask"],
                             batch["points"])
 

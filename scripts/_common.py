@@ -1,0 +1,63 @@
+"""Shared CLI plumbing for the training/eval entry points.
+
+The reference repeats argument parsing + derived-geometry in every script
+(train_dist.py:49-199 = evaluate_dist.py:106-118 = ...); here it lives once.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OVERRIDE_KEYS = ("batch_size", "num_points", "num_steps", "epochs",
+                 "start_epoch", "base_learning_rate", "weight_decay",
+                 "load_path", "log_dir", "rng_seed", "DEBUG")
+
+
+def base_parser(name: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(name)
+    p.add_argument("--config_file", type=str, required=True)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--num_points", type=int)
+    p.add_argument("--num_steps", type=int)
+    p.add_argument("--base_learning_rate", type=float)
+    p.add_argument("--weight_decay", type=float)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--start_epoch", type=int)
+    p.add_argument("--load_path", type=str, default="")
+    p.add_argument("--log_dir", type=str, default="log")
+    p.add_argument("--rng_seed", type=int, default=0)
+    p.add_argument("--DEBUG", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu' for debug runs; "
+                   "the env-var JAX_PLATFORMS is overridden by the "
+                   "container's TPU bootstrap, so this is applied as a "
+                   "post-import config update)")
+    return p
+
+
+def setup(args):
+    """Apply platform override, load config, create log dir + logger."""
+    import jax
+
+    from deep3dpointclouddenoising_tpu.config import load_config
+    from deep3dpointclouddenoising_tpu.utils.logger import setup_logger
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k in OVERRIDE_KEYS}
+    cfg = load_config(args.config_file, overrides)
+    if args.data_root:
+        cfg.data_root = args.data_root
+    cfg.log_dir = os.path.join(args.log_dir, cfg.experiment_name or "run")
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    logger = setup_logger(cfg.log_dir)
+    logger.info(f"jax backend: {jax.default_backend()} "
+                f"devices: {jax.device_count()}")
+    logger.info(json.dumps({k: str(v) for k, v in cfg.items()}, indent=1))
+    return cfg, logger

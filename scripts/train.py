@@ -50,11 +50,18 @@ def parse_args():
     p.add_argument("--log_dir", type=str, default="log")
     p.add_argument("--rng_seed", type=int, default=0)
     p.add_argument("--DEBUG", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu' for debug runs; "
+                   "the env-var JAX_PLATFORMS is overridden by the "
+                   "container's TPU bootstrap, so this uses a post-import "
+                   "config update)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k in
                  ("batch_size", "num_points", "num_steps", "epochs",
@@ -66,6 +73,8 @@ def main():
     cfg.log_dir = os.path.join(args.log_dir, cfg.experiment_name or "run")
     os.makedirs(cfg.log_dir, exist_ok=True)
     logger = setup_logger(cfg.log_dir)
+    logger.info(f"jax backend: {jax.default_backend()} "
+                f"devices: {jax.device_count()}")
     logger.info(json.dumps({k: str(v) for k, v in cfg.items()}, indent=1))
 
     transforms = build_train_transforms(cfg)

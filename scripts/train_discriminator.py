@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Discriminator pre-training: clean vs raw-noisy classification.
+
+TPU-native equivalent of /root/reference/u_net_arch/train_discriminator.py:
+the discriminator is trained to separate clean clouds (points + gt offsets)
+from the raw noisy points (NOT generator output, :419); validation reports
+thresholded accuracy (:433-435).
+
+Usage:
+  python scripts/train_discriminator.py --config_file cfgs/discriminator.yaml \
+      --data_root <shapes>
+"""
+from __future__ import annotations
+
+import time
+
+from _common import base_parser, setup
+
+
+def main():
+    args = base_parser("Discriminator pre-training").parse_args()
+    cfg, logger = setup(args)
+
+    import jax
+
+    from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import \
+        OffsetDataset
+    from deep3dpointclouddenoising_tpu.models import (
+        build_discriminator, build_offset_regression)
+    from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
+    from deep3dpointclouddenoising_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
+
+    common = dict(
+        in_radius=cfg.in_radius, num_points=cfg.num_points,
+        noise_type=cfg.noise_type, noise_level=cfg.noise_level,
+        num_points_per_shape=cfg.num_points_per_shape,
+        outlier_proportion=cfg.outlier_percentage,
+        debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
+    train_ds = OffsetDataset(cfg.data_root, "train", num_steps=cfg.num_steps,
+                             num_epochs=cfg.epochs, **common)
+    val_ds = OffsetDataset(cfg.data_root, "val", num_steps=cfg.num_steps,
+                           num_epochs=1, **common)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, drop_last=True)
+    val_loader = BatchLoader(val_ds, cfg.batch_size, drop_last=False)
+
+    generator, gen_loss = build_offset_regression(cfg)
+    discriminator, _ = build_discriminator(cfg)
+    trainer = GANTrainer(cfg, generator, gen_loss, discriminator,
+                         n_iter_per_epoch=len(train_loader))
+
+    rng = jax.random.PRNGKey(cfg.rng_seed)
+    example = next(iter(train_loader.epoch_iter(0)))
+    _, disc_state = trainer.init_states(rng, example)
+    if cfg.load_path:
+        disc_state = load_checkpoint(cfg.load_path, disc_state)
+        logger.info(f"resumed from {cfg.load_path}")
+
+    for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
+        tic = time.time()
+        meter = AverageMeter()
+        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+            step_rng = jax.random.fold_in(rng, int(disc_state.step))
+            disc_state, loss = trainer.pretrain_step(disc_state, batch,
+                                                     step_rng)
+            meter.update(float(loss), len(batch["points"]))
+            if it % cfg.print_freq == 0:
+                logger.info(
+                    f"D [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
+                    f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+
+        if epoch % cfg.val_freq == 0:
+            acc = AverageMeter()
+            for batch in val_loader.epoch_iter(0):
+                acc.update(float(trainer.pretrain_accuracy(disc_state,
+                                                           batch)),
+                           len(batch["points"]))
+            logger.info(f"val [{epoch}] accuracy {acc.avg:.4f}")
+        save_checkpoint(cfg.log_dir, epoch, disc_state,
+                        save_freq=cfg.save_freq)
+
+
+if __name__ == "__main__":
+    main()

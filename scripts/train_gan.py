@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Adversarial fine-tuning of the offset U-Net.
+
+TPU-native equivalent of /root/reference/u_net_arch/train_dist_GAN.py:
+generator = offset-regression U-Net, discriminator = ResNet encoder +
+discriminator head; D sees concat(clean, generated-denoised) with
+BCE x ALPHA=0.01, G loss = ALPHA*BCE(D(fake), real) + task loss,
+5% label-flip noise on the G step.
+
+Usage:
+  python scripts/train_gan.py --config_file cfgs/gan.yaml --data_root <shapes>
+"""
+from __future__ import annotations
+
+import os
+import time
+
+from _common import base_parser, setup
+
+
+def main():
+    p = base_parser("GAN fine-tuning")
+    p.add_argument("--load_path_generator", type=str, default="")
+    p.add_argument("--load_path_discriminator", type=str, default="")
+    args = p.parse_args()
+    cfg, logger = setup(args)
+
+    import jax
+
+    from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import \
+        OffsetDataset
+    from deep3dpointclouddenoising_tpu.data.transforms import \
+        build_train_transforms
+    from deep3dpointclouddenoising_tpu.models import (
+        build_discriminator, build_offset_regression)
+    from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
+    from deep3dpointclouddenoising_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
+
+    transforms = build_train_transforms(cfg)
+    train_ds = OffsetDataset(
+        cfg.data_root, "train", in_radius=cfg.in_radius,
+        num_points=cfg.num_points, num_steps=cfg.num_steps,
+        num_epochs=cfg.epochs, noise_type=cfg.noise_type,
+        noise_level=cfg.noise_level,
+        num_points_per_shape=cfg.num_points_per_shape,
+        outlier_proportion=cfg.outlier_percentage, transforms=transforms,
+        debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, drop_last=True)
+
+    generator, gen_loss = build_offset_regression(cfg)
+    discriminator, _ = build_discriminator(cfg)
+    trainer = GANTrainer(cfg, generator, gen_loss, discriminator,
+                         n_iter_per_epoch=len(train_loader),
+                         freeze_generator=bool(cfg.freeze_gen))
+
+    rng = jax.random.PRNGKey(cfg.rng_seed)
+    example = next(iter(train_loader.epoch_iter(0)))
+    gen_state, disc_state = trainer.init_states(rng, example)
+    if args.load_path_generator:
+        gen_state = load_checkpoint(args.load_path_generator, gen_state)
+        logger.info(f"generator resumed from {args.load_path_generator}")
+    if args.load_path_discriminator:
+        disc_state = load_checkpoint(args.load_path_discriminator, disc_state)
+        logger.info(
+            f"discriminator resumed from {args.load_path_discriminator}")
+
+    for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
+        tic = time.time()
+        meters = {k: AverageMeter() for k in
+                  ("err_g", "err_g1", "err_g2", "err_d", "disc_accuracy")}
+        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+            step_rng = jax.random.fold_in(rng, int(gen_state.step)
+                                          + 7919 * epoch)
+            gen_state, disc_state, metrics = trainer.update(
+                gen_state, disc_state, batch, step_rng)
+            for k, m in meters.items():
+                m.update(float(metrics[k]), len(batch["points"]))
+            if it % cfg.print_freq == 0:
+                logger.info(
+                    f"GAN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
+                    + " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items()))
+        logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+        # per-block checkpoints (train_dist_GAN.py:291-303)
+        save_checkpoint(os.path.join(cfg.log_dir, "generator"), epoch,
+                        gen_state, save_freq=cfg.save_freq)
+        save_checkpoint(os.path.join(cfg.log_dir, "discriminator"), epoch,
+                        disc_state, save_freq=cfg.save_freq)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""PointCleanNet-baseline training (ResPCPNet on raw patches).
+
+TPU-native equivalent of /root/reference/u_net_arch/train_dist_PCN.py.
+
+Usage:
+  python scripts/train_pcn.py --config_file cfgs/PCN_l1.yaml --data_root <shapes>
+"""
+from __future__ import annotations
+
+import time
+
+from _common import base_parser, setup
+
+
+def main():
+    args = base_parser("PCN baseline training").parse_args()
+    cfg, logger = setup(args)
+    cfg.architecture = "PCN"
+
+    import jax
+
+    from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import \
+        OffsetDataset
+    from deep3dpointclouddenoising_tpu.data.transforms import \
+        build_train_transforms
+    from deep3dpointclouddenoising_tpu.models import \
+        build_offset_regression_PCN
+    from deep3dpointclouddenoising_tpu.train.pcn import PCNTrainer
+    from deep3dpointclouddenoising_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
+
+    transforms = build_train_transforms(cfg)
+    common = dict(
+        in_radius=cfg.in_radius, num_points=cfg.num_points,
+        noise_type=cfg.noise_type, noise_level=cfg.noise_level,
+        num_points_per_shape=cfg.num_points_per_shape,
+        outlier_proportion=cfg.outlier_percentage, architecture="PCN",
+        debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
+    train_ds = OffsetDataset(cfg.data_root, "train", num_steps=cfg.num_steps,
+                             num_epochs=cfg.epochs, transforms=transforms,
+                             **common)
+    val_ds = OffsetDataset(cfg.data_root, "val", num_steps=cfg.num_steps,
+                           num_epochs=1, **common)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, drop_last=True)
+    val_loader = BatchLoader(val_ds, cfg.batch_size, drop_last=False)
+
+    model, _ = build_offset_regression_PCN(cfg)
+    trainer = PCNTrainer(cfg, model, n_iter_per_epoch=len(train_loader))
+
+    rng = jax.random.PRNGKey(cfg.rng_seed)
+    example = next(iter(train_loader.epoch_iter(0)))
+    state = trainer.init_state(rng, example)
+    if cfg.load_path:
+        state = load_checkpoint(cfg.load_path, state)
+        logger.info(f"resumed from {cfg.load_path}")
+
+    for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
+        tic = time.time()
+        meter = AverageMeter()
+        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+            step_rng = jax.random.fold_in(rng, int(state.step))
+            state, loss = trainer.train_step(state, batch, step_rng)
+            meter.update(float(loss), len(batch["points"]))
+            if it % cfg.print_freq == 0:
+                logger.info(
+                    f"PCN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
+                    f"loss {meter.val:.6f} ({meter.avg:.6f})")
+        logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+
+        if epoch % cfg.val_freq == 0:
+            vmeter = AverageMeter()
+            for batch in val_loader.epoch_iter(0):
+                vmeter.update(float(trainer.eval_step(state, batch)),
+                              len(batch["points"]))
+            logger.info(f"val [{epoch}] loss {vmeter.avg:.6f}")
+        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+
+
+if __name__ == "__main__":
+    main()
