@@ -99,6 +99,40 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
     return results
 
 
+def denoise_clouds_pcn(predict_fn, dataset: OffsetDataset,
+                       batch_size: int = 64) -> List[Dict[str, np.ndarray]]:
+    """PointCleanNet-baseline full-shape denoising
+    (qualitative_inference_test.py:353-403): one patch per cloud point, the
+    network predicts a single offset for the patch center (slot 0); the
+    center's prediction is written back to that point.
+
+    Args:
+      predict_fn: ``points (B, N, 3) -> offsets (B, 3)`` (STN rotation
+        already applied, e.g. ``PCNTrainer.predict``).
+      dataset: OffsetDataset with ``architecture='PCN'`` in a test split
+        (its patch table enumerates every cloud point).
+    """
+    offsets = [np.zeros((len(s.points), 3), np.float32)
+               for s in dataset.shapes]
+    loader = BatchLoader(dataset, batch_size, drop_last=False)
+    for batch in loader.epoch_iter(0):
+        pred = np.asarray(predict_fn(batch["points"]))  # (B, 3)
+        for b in range(len(pred)):
+            ci = int(batch["cloud_ind"][b])
+            center = int(batch["input_inds"][b][0])
+            offsets[ci][center] = pred[b]
+    results = []
+    for shape, off in zip(dataset.shapes, offsets):
+        results.append({
+            "noisy": shape.points,
+            "offsets": off,
+            "denoised": shape.points + off,
+            "labels": shape.labels,
+            "gt_offsets": shape.offsets,
+        })
+    return results
+
+
 def make_predict_fn(model, variables, raw: bool = False):
     """Jitted full-batch predictor over the flax model."""
 

@@ -93,7 +93,9 @@ class CrissCrossAttention(nn.Module):
         v = nn.relu(_bn(train)(nn.Dense(self.channels, use_bias=False)(x)))
         n = x.shape[1]
         energy_h = jnp.einsum("bic,bjc->bij", q, k)
-        energy_h = energy_h - jnp.eye(n)[None] * jnp.inf
+        # -inf on the diagonal (NOT energy - eye*inf: 0*inf = nan)
+        energy_h = jnp.where(jnp.eye(n, dtype=bool)[None], -jnp.inf,
+                             energy_h)
         energy_w = jnp.sum(q * k, axis=-1, keepdims=True)  # self energy
         att = nn.softmax(jnp.concatenate([energy_h, energy_w], axis=-1),
                          axis=-1)

@@ -27,6 +27,27 @@ def nearest_upsample(coarse_features: jnp.ndarray, up_idx: jnp.ndarray
     return jnp.take_along_axis(coarse_features, up_idx[..., None], axis=1)
 
 
+def masked_upsample(coarse_features: jnp.ndarray, nbr, *,
+                    mode: str = "max", nsample: int = 16) -> jnp.ndarray:
+    """Radius-neighborhood upsampling modes 'max' and 'rbf'
+    (pt_utils.py:226-236); query = fine points, support = coarse level.
+
+    ``nbr`` is a :class:`.pyramid.Neighborhood` whose indices point from
+    fine queries into the coarse support set.  'max' takes the neighborhood
+    max (pad slots cycle real neighbors); 'rbf' is a gaussian-weighted sum
+    with sigma = 1 normalized by ``nsample``, matching the reference's
+    fixed-denominator convention.
+    """
+    from ..ops import group_features
+    grouped = group_features(coarse_features, nbr.idx)  # (B, M, K, C)
+    if mode == "max":
+        return jnp.max(grouped, axis=2)
+    if mode == "rbf":
+        rbf = jnp.exp(-jnp.sum(nbr.rel_xyz ** 2, axis=-1) / 2.0)  # (B,M,K)
+        return jnp.sum(grouped * rbf[..., None], axis=2) / float(nsample)
+    raise NotImplementedError(f"mode:{mode} not supported in masked_upsample")
+
+
 class UNetDecoder(nn.Module):
     """Shared decoder trunk: 4 nearest-upsample + skip-concat + 1x1 conv
     steps, 24w->4w->2w->w->w/2 (multi_dimensional_head.py:35-51).

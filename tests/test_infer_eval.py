@@ -67,3 +67,50 @@ def test_performance_table(rng):
     table = performance_table(clean, noisy)
     assert table["shape_0"]["outlier_ratio"] == pytest.approx(0.1, abs=0.02)
     assert table["mean"]["noise_ratio"] < 0.1
+
+
+def test_pcn_voting_inference(tmp_path, rng):
+    from deep3dpointclouddenoising_tpu.infer import denoise_clouds_pcn
+
+    ds = OffsetDataset(
+        str(tmp_path), "qualitative_test", in_radius=0.4, num_points=64,
+        num_steps=4, num_epochs=1, noise_type="gaussian", noise_level=5e-3,
+        num_points_per_shape=500, outlier_proportion=0.0, seed=0,
+        architecture="PCN",
+        shapes={"qualitative_test/sphere": make_icosphere(2)})
+    # PCN test split enumerates every cloud point
+    assert len(ds) == 500
+
+    shape = ds.shapes[0]
+
+    def oracle(points):
+        # per-patch ground truth offset of the center point; centers come in
+        # dataset order, but read it from the patch geometry instead:
+        # slot 0 of each patch is the center, points are center-relative
+        batch = points.shape[0]
+        out = np.zeros((batch, 3), np.float32)
+        return out  # zero prediction keeps clouds unchanged
+
+    res = denoise_clouds_pcn(oracle, ds, batch_size=50)
+    assert len(res) == 1
+    np.testing.assert_allclose(res[0]["denoised"], shape.points)
+
+
+def test_masked_upsample_modes(rng):
+    import jax.numpy as jnp
+    from deep3dpointclouddenoising_tpu.models.heads import masked_upsample
+    from deep3dpointclouddenoising_tpu.models.pyramid import _neighborhood
+
+    fine = jnp.asarray(rng.random((1, 32, 3), dtype=np.float32))
+    coarse = fine[:, :8]
+    ones_f = jnp.ones((1, 32), jnp.float32)
+    ones_c = jnp.ones((1, 8), jnp.float32)
+    nbr = _neighborhood(fine, coarse, ones_f, ones_c, radius=2.0, nsample=4)
+    feats = jnp.asarray(rng.normal(size=(1, 8, 6)).astype(np.float32))
+
+    up_max = masked_upsample(feats, nbr, mode="max", nsample=4)
+    assert up_max.shape == (1, 32, 6)
+    # radius covers everything -> max over (up to) 4 nearest coarse feats
+    up_rbf = masked_upsample(feats, nbr, mode="rbf", nsample=4)
+    assert up_rbf.shape == (1, 32, 6)
+    assert np.all(np.isfinite(np.asarray(up_rbf)))
