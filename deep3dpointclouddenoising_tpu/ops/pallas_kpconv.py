@@ -139,7 +139,11 @@ def _pick_tiles(M: int, K: int, C: int, itemsize: int,
     shrinks until the double-buffered grouped block fits the VMEM budget."""
     tm = M if M <= 128 else 128
     per_k = tm * max(C, 128) * itemsize * 2  # x2: double buffering
-    kb = max(1, min(K, budget // max(per_k, 1)))
+    kb_max = max(1, min(K, budget // max(per_k, 1)))
+    # balance chunks so k_pad == n_chunks * kb stays as close to K as
+    # possible (kb_max=45 on K=52 would pad to 90 -> 73% wasted traffic)
+    n_chunks = -(-K // kb_max)
+    kb = -(-K // n_chunks)
     return tm, kb
 
 
