@@ -127,3 +127,52 @@ def build_train_transforms(cfg) -> Compose:
             std=cfg.noise_std, clip=cfg.noise_clip,
             augment_symmetries=cfg.augment_symmetries))
     return Compose(ts)
+
+
+class BatchPointcloudRandomRotate:
+    """Per-item random rotation of a (B, N, 3) batch
+    (data_utils.py:347-376); used for augmentation-based multi-vote eval."""
+
+    def __init__(self, x_range=np.pi, y_range=np.pi, z_range=np.pi):
+        self.ranges = (x_range, y_range, z_range)
+
+    def __call__(self, pc: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        out = np.array(pc, copy=True)
+        axes = np.eye(3)
+        for i in range(len(out)):
+            rot = np.eye(3)
+            for ax in range(3):
+                a = rng.uniform(-self.ranges[ax], self.ranges[ax])
+                rot = angle_axis(a, axes[ax]) @ rot
+            out[i, :, :3] = out[i, :, :3] @ rot.T
+            if out.shape[2] > 3:
+                out[i, :, 3:6] = out[i, :, 3:6] @ rot.T
+        return out
+
+
+class BatchPointcloudScaleAndJitter:
+    """Per-item anisotropic scale (+symmetry flips) and clipped jitter of a
+    (B, N, 3) batch (data_utils.py:324-344)."""
+
+    def __init__(self, scale_low=2. / 3., scale_high=3. / 2., std=0.01,
+                 clip=0.05, augment_symmetries=(0, 0, 0)):
+        self.scale_low, self.scale_high = scale_low, scale_high
+        self.std, self.clip = std, clip
+        self.augment_symmetries = np.asarray(augment_symmetries)
+
+    def __call__(self, pc: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        out = np.array(pc, copy=True)
+        for i in range(len(out)):
+            scale = rng.uniform(self.scale_low, self.scale_high, 3)
+            sym = np.round(rng.uniform(size=3)) * 2 - 1
+            sym = sym * self.augment_symmetries + (1 - self.augment_symmetries)
+            scale = scale * sym
+            jitter = np.clip(rng.normal(scale=self.std,
+                                        size=(out.shape[1], 3)),
+                             -self.clip, self.clip)
+            out[i, :, :3] = out[i, :, :3] * scale + jitter
+        return out

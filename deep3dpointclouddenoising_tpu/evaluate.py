@@ -95,6 +95,9 @@ def format_cd_table(table: Dict[str, Dict[str, float]]) -> str:
 
 def evaluate_outlier_segmentation(predict_fn, dataset, *,
                                   batch_size: int = 8,
+                                  num_votes: int = 1,
+                                  vote_transform=None,
+                                  seed: int = 0,
                                   write_dir: Optional[str] = None
                                   ) -> Dict[str, float]:
     """Voting full-cloud evaluation of an outlier-segmentation model.
@@ -104,6 +107,11 @@ def evaluate_outlier_segmentation(predict_fn, dataset, *,
       dataset: an :class:`..data.outlier_dataset.OutlierSegmentationDataset`
         with a test-style split (patch centers covering every cloud).
       batch_size: forward batch size.
+      num_votes: augmentation-based voting rounds (evaluate_dist.py:277-300);
+        rounds past the first apply ``vote_transform`` to the patch points.
+      vote_transform: batch transform ``(B, N, 3), rng -> (B, N, 3)``; default
+        BatchPointcloudRandomRotate about z + scale/jitter, mirroring the
+        reference's eval augmentation set.
       write_dir: if set, per-cloud PLYs with probabilities/preds/GT are
         written there (evaluate_dist.py:356).
 
@@ -120,17 +128,30 @@ def evaluate_outlier_segmentation(predict_fn, dataset, *,
                 for p in dataset.sub_points]
     vote_cnt = [np.zeros(len(p), np.int64) for p in dataset.sub_points]
 
+    if vote_transform is None and num_votes > 1:
+        from .data.transforms import (BatchPointcloudRandomRotate,
+                                      BatchPointcloudScaleAndJitter)
+        rotate = BatchPointcloudRandomRotate(0.0, 0.0, np.pi)
+        jitter = BatchPointcloudScaleAndJitter()
+
+        def vote_transform(pts, rng):
+            return jitter(rotate(pts, rng), rng)
+
+    rng = np.random.default_rng(seed)
     loader = BatchLoader(dataset, batch_size, drop_last=False)
-    for batch in loader.epoch_iter(0):
-        logits = predict_fn(batch["points"], batch["mask"],
-                            batch["features"])
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-        masks = batch["mask"] > 0
-        for i in range(len(probs)):
-            c = int(batch["cloud_ind"][i])
-            inds = batch["input_inds"][i][masks[i]]
-            vote_sum[c][inds] += probs[i][masks[i]]
-            vote_cnt[c][inds] += 1
+    for vote in range(num_votes):
+        for batch in loader.epoch_iter(0):
+            points = batch["points"]
+            if vote > 0:
+                points = vote_transform(points, rng)
+            logits = predict_fn(points, batch["mask"], batch["features"])
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+            masks = batch["mask"] > 0
+            for i in range(len(probs)):
+                c = int(batch["cloud_ind"][i])
+                inds = batch["input_inds"][i][masks[i]]
+                vote_sum[c][inds] += probs[i][masks[i]]
+                vote_cnt[c][inds] += 1
 
     conf = np.zeros((num_classes, num_classes), np.int64)
     for c, points in enumerate(dataset.clouds_points):

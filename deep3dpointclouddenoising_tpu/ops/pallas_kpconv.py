@@ -132,13 +132,17 @@ def _fwd_kernel(grouped_ref, aux_ref, kpa_ref, kk_ref, kw_ref, out_ref, *,
 
 
 def _pick_tiles(M: int, K: int, C: int, itemsize: int,
-                budget: int = 6 * 1024 * 1024) -> Tuple[int, int]:
+                budget: int = 4 * 1024 * 1024) -> Tuple[int, int]:
     """(query tile, neighbor chunk).  Mosaic requires the block's last dim to
     be a multiple of 128 or the full array dim, so the query tile is either
     all of M (small levels) or a multiple of 128; the neighbor chunk then
-    shrinks until the double-buffered grouped block fits the VMEM budget."""
+    shrinks until the double-buffered grouped block fits the VMEM budget.
+    VMEM footprints use the lane/sublane-PADDED sizes (144 channels occupy
+    256 lanes)."""
     tm = M if M <= 128 else 128
-    per_k = tm * max(C, 128) * itemsize * 2  # x2: double buffering
+    tm_pad = -(-tm // 8) * 8
+    c_pad = -(-C // 128) * 128
+    per_k = tm_pad * c_pad * itemsize * 2  # x2: double buffering
     kb_max = max(1, min(K, budget // max(per_k, 1)))
     # balance chunks so k_pad == n_chunks * kb stays as close to K as
     # possible (kb_max=45 on K=52 would pad to 90 -> 73% wasted traffic)

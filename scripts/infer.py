@@ -33,8 +33,11 @@ def main():
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="inference_out")
     p.add_argument("--full_cleaning", action="store_true")
+    p.add_argument("--platform", type=str, default=None)
     args = p.parse_args()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg = load_config(args.config_file)
     cfg.data_root = args.data_root
 

@@ -135,3 +135,44 @@ def test_voting_evaluation_with_oracle(tmp_path, rng):
     m = evaluate_outlier_segmentation(oracle, ds, batch_size=2)
     assert m["macc"] > 99.0
     assert m["miou"] > 95.0
+
+
+def test_voting_multi_vote_augmented(tmp_path, rng):
+    """num_votes>1 applies batch augmentation on later rounds; an oracle that
+    reads labels from features is rotation-invariant, so metrics stay
+    perfect."""
+    for i in range(14):
+        pts, gt, normals, _ = make_scan(rng, n=300, n_out=30)
+        intensity = (gt == 2).astype(np.float32) * 255.0
+        write_ply(str(tmp_path / f"pointcloud_{i:02d}.ply"),
+                  [pts, gt, normals, intensity],
+                  ["vertex", "GT", "normal", "intensity"])
+
+    ds = OutlierSegmentationDataset(
+        str(tmp_path), "test", dataset_type="EDFS",
+        input_features=["intensity"],
+        in_radius=0.8, num_points=96, num_steps=4,
+        subsampling_parameter=0.0, debug=True, seed=0)
+
+    def oracle(points, mask, features):
+        lab = features[..., -1]
+        logits = np.zeros((*lab.shape, 2), np.float32)
+        logits[..., 1] = lab * 10.0 - 5.0
+        logits[..., 0] = -logits[..., 1]
+        return logits
+
+    m = evaluate_outlier_segmentation(oracle, ds, batch_size=2, num_votes=3)
+    assert m["macc"] > 99.0
+
+
+def test_batch_transforms_shapes(rng):
+    from deep3dpointclouddenoising_tpu.data.transforms import (
+        BatchPointcloudRandomRotate, BatchPointcloudScaleAndJitter)
+    pc = rng.random((2, 10, 3), dtype=np.float32)
+    rot = BatchPointcloudRandomRotate()(pc, rng)
+    assert rot.shape == pc.shape
+    # rotations preserve norms
+    np.testing.assert_allclose(np.linalg.norm(rot, axis=-1),
+                               np.linalg.norm(pc, axis=-1), rtol=1e-5)
+    sj = BatchPointcloudScaleAndJitter(std=0.0, clip=0.0)(pc, rng)
+    assert sj.shape == pc.shape
