@@ -131,18 +131,70 @@ def _fwd_kernel(grouped_ref, aux_ref, kpa_ref, kk_ref, kw_ref, out_ref, *,
         out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
 
 
+_ONEHOT_MAX_N = 2048  # gather-as-matmul path for small support sets
+
+
+def _fwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
+                       out_ref, *, extent: float, influence: str, kb: int):
+    # Like _fwd_kernel, but the neighbor gather happens ON THE MXU: a
+    # one-hot(idx) @ features matmul against the VMEM-resident support
+    # features.  XLA's dynamic row gather measured ~19 GB/s effective on
+    # v5e (6.2 ms for the flagship layer); the one-hot contraction is ~30
+    # GFLOP and runs in a fraction of that.  Blocks:
+    #   feat (1, N, C)  idx (1, Kb, TM, 1)  aux (1, Kb, 5, TM)
+    #   kpa (P, 5)  kk (1, P)  kw (P, C)  out (1, TM, C)
+    del kb
+    feat = feat_ref[0]                              # (N, C)
+    n = feat.shape[0]
+    idx = idx_ref[0]                                # (Kb, TM, 1)
+    kb_, tm = idx.shape[0], idx.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (kb_, tm, n), 2)
+    onehot = (iota == idx).astype(feat.dtype)       # (Kb, TM, N)
+    g = jax.lax.dot_general(
+        onehot, feat, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Kb, TM, C)
+
+    kpa = kpa_ref[:]
+    kk = kk_ref[:]
+    kw = kw_ref[:]
+    aux = aux_ref[0]                                # (Kb, 5, TM)
+    sq = jax.lax.dot_general(
+        aux, kpa, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) + kk[None]
+    w = _influence_weights(jnp.maximum(sq, 0.0), extent, influence)
+    wc = jax.lax.dot_general(
+        w, kw, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Kb, TM, C)
+    acc = jnp.sum(wc * g, axis=0)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    @pl.when(pl.program_id(2) != 0)
+    def _accum():
+        out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
+
+
 def _pick_tiles(M: int, K: int, C: int, itemsize: int,
-                budget: int = 4 * 1024 * 1024) -> Tuple[int, int]:
+                budget: int = 4 * 1024 * 1024,
+                onehot_n: int = 0) -> Tuple[int, int]:
     """(query tile, neighbor chunk).  Mosaic requires the block's last dim to
     be a multiple of 128 or the full array dim, so the query tile is either
     all of M (small levels) or a multiple of 128; the neighbor chunk then
-    shrinks until the double-buffered grouped block fits the VMEM budget.
-    VMEM footprints use the lane/sublane-PADDED sizes (144 channels occupy
-    256 lanes)."""
+    shrinks until the double-buffered grouped block (or, on the one-hot
+    gather path, the in-kernel (Kb, TM, N) one-hot intermediate) fits the
+    VMEM budget.  Footprints use the lane/sublane-PADDED sizes (144 channels
+    occupy 256 lanes)."""
     tm = M if M <= 128 else 128
     tm_pad = -(-tm // 8) * 8
     c_pad = -(-C // 128) * 128
-    per_k = tm_pad * c_pad * itemsize * 2  # x2: double buffering
+    if onehot_n:
+        n_pad = -(-onehot_n // 128) * 128
+        per_k = tm_pad * (n_pad + 2 * c_pad) * itemsize
+    else:
+        per_k = tm_pad * c_pad * itemsize * 2  # x2: double buffering
     kb_max = max(1, min(K, budget // max(per_k, 1)))
     # balance chunks so k_pad == n_chunks * kb stays as close to K as
     # possible (kb_max=45 on K=52 would pad to 90 -> 73% wasted traffic)
@@ -156,7 +208,7 @@ def _fwd_pallas(features: jnp.ndarray, idx: jnp.ndarray, rel: jnp.ndarray,
                 kernel_weights: jnp.ndarray, *, extent: float,
                 influence: str, interpret: bool = False) -> jnp.ndarray:
     B, M, K = idx.shape
-    C = features.shape[-1]
+    N, C = features.shape[-2:]
     P = kpoints.shape[0]
     if influence == "constant":
         # w == mask: reduces to a masked neighbor sum scaled by sum_p kw —
@@ -168,18 +220,20 @@ def _fwd_pallas(features: jnp.ndarray, idx: jnp.ndarray, rel: jnp.ndarray,
         summed = jnp.sum(grouped * mask[..., None], axis=2)
         return summed * jnp.sum(kernel_weights, axis=0)[None, None, :]
 
-    tm, kb = _pick_tiles(M, K, C, features.dtype.itemsize)
+    onehot_gather = N <= _ONEHOT_MAX_N
+    tm, kb = _pick_tiles(M, K, C, features.dtype.itemsize,
+                         onehot_n=N if onehot_gather else 0)
     k_pad = pl.cdiv(K, kb) * kb
 
-    # neighbor-major gather: grouped_t[b,k,m,:] = features[b, idx[b,m,k], :].
-    # The index tensor (not the big feature tensor) is padded to a multiple
-    # of the neighbor chunk; padding slots point at index 0 and are disabled
-    # through the aux mask-penalty row.
+    # neighbor-major index layout; padding chunk slots point at index 0 and
+    # are disabled through the aux mask-penalty row.
     idx_t = jnp.transpose(idx, (0, 2, 1))               # (B, K, M)
     idx_t = jnp.pad(idx_t, ((0, 0), (0, k_pad - K), (0, 0)))
-    grouped_t = jnp.take_along_axis(
-        features, idx_t.reshape(B, k_pad * M)[..., None],
-        axis=1).reshape(B, k_pad, M, C)
+    if not onehot_gather:
+        # XLA dynamic row gather: grouped_t[b,k,m,:] = feat[b, idx[b,m,k], :]
+        grouped_t = jnp.take_along_axis(
+            features, idx_t.reshape(B, k_pad * M)[..., None],
+            axis=1).reshape(B, k_pad, M, C)
     # aux rows along the sublane dim, M on the lane dim (no 128-lane padding
     # waste on the geometry inputs)
     kpd = ((0, 0), (0, k_pad - K), (0, 0), (0, 0))
@@ -195,9 +249,44 @@ def _fwd_pallas(features: jnp.ndarray, idx: jnp.ndarray, rel: jnp.ndarray,
     kk = jnp.sum(kpoints * kpoints, axis=-1)[None, :]   # (1, P)
 
     grid = (B, pl.cdiv(M, tm), k_pad // kb)
+    shared_specs = [
+        pl.BlockSpec((1, kb, 5, tm), lambda b, i, k: (b, k, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 5), lambda b, i, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda b, i, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, C), lambda b, i, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, tm, C), lambda b, i, k: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    flops = 2 * B * M * K * (5 * P + P * C + C)
+    if onehot_gather:
+        kernel = functools.partial(_fwd_kernel_onehot, extent=extent,
+                                   influence=influence, kb=kb)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, M, C), features.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, N, C), lambda b, i, k: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kb, tm, 1), lambda b, i, k: (b, k, i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + shared_specs,
+            out_specs=out_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=flops + 2 * B * M * k_pad * N * C,
+                bytes_accessed=B * N * C * features.dtype.itemsize
+                + B * M * K * 4 * 5 + B * M * C * 4,
+                transcendentals=B * M * K * P
+                if influence == "gaussian" else 0),
+            interpret=interpret,
+        )(features, idx_t[..., None], aux, kp_aug, kk, kernel_weights)
+
     kernel = functools.partial(_fwd_kernel, extent=extent,
                                influence=influence, kb=kb)
-    flops = 2 * B * M * K * (5 * P + P * C + C)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, M, C), features.dtype),
@@ -205,17 +294,8 @@ def _fwd_pallas(features: jnp.ndarray, idx: jnp.ndarray, rel: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, kb, tm, C), lambda b, i, k: (b, k, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, 5, tm), lambda b, i, k: (b, k, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 5), lambda b, i, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda b, i, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, C), lambda b, i, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tm, C), lambda b, i, k: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        ] + shared_specs,
+        out_specs=out_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=B * M * K * C * features.dtype.itemsize

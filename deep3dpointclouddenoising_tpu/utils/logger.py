@@ -33,3 +33,23 @@ def setup_logger(output: str | None = None, distributed_rank: int = 0,
         fh.setFormatter(fmt)
         logger.addHandler(fh)
     return logger
+
+
+class MetricsWriter:
+    """Append-only JSONL scalar log (the TensorBoard-SummaryWriter
+    equivalent of /root/reference/u_net_arch/train_dist.py:390-393,411-420;
+    JSONL keeps the framework dependency-free and machine-readable)."""
+
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(log_dir, exist_ok=True)
+        self._path = os.path.join(log_dir, filename)
+        self._f = open(self._path, "a")
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        import json
+        self._f.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()

@@ -31,8 +31,11 @@ from deep3dpointclouddenoising_tpu.models import build_offset_regression
 from deep3dpointclouddenoising_tpu.train import Trainer
 from deep3dpointclouddenoising_tpu.utils.checkpoint import (
     load_checkpoint, save_checkpoint)
-from deep3dpointclouddenoising_tpu.utils.logger import setup_logger
+from deep3dpointclouddenoising_tpu.utils.logger import (
+    MetricsWriter, setup_logger)
 from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
+from deep3dpointclouddenoising_tpu.utils.profiling import StepTimer,\
+    device_trace
 
 
 def parse_args():
@@ -50,6 +53,9 @@ def parse_args():
     p.add_argument("--log_dir", type=str, default="log")
     p.add_argument("--rng_seed", type=int, default=0)
     p.add_argument("--DEBUG", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of the first "
+                   "training epoch into this directory")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu' for debug runs; "
                    "the env-var JAX_PLATFORMS is overridden by the "
@@ -106,27 +112,42 @@ def main():
         logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")
 
     norm_factor = cfg.in_radius / 100.0
+    writer = MetricsWriter(cfg.log_dir)
 
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter, batch_meter = AverageMeter(), AverageMeter()
+        timer = StepTimer()
         end = time.time()
-        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            if cfg.norm:  # train_dist.py:322-326
-                for k in ("points", "offsets", "features"):
-                    batch[k] = batch[k] / norm_factor
-            step_rng = jax.random.fold_in(rng, int(state.step))
-            state, loss = trainer.train_step(state, batch, step_rng)
-            meter.update(float(loss), len(batch["points"]))
-            batch_meter.update(time.time() - end)
-            end = time.time()
-            if it % cfg.print_freq == 0:
-                logger.info(
-                    f"Train [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
-                    f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
-                    f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        trace_dir = args.profile_dir if (args.profile_dir
+                                         and epoch == int(cfg.start_epoch)) \
+            else None
+        with device_trace(trace_dir):
+            for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+                if cfg.norm:  # train_dist.py:322-326
+                    for k in ("points", "offsets", "features"):
+                        batch[k] = batch[k] / norm_factor
+                timer.host()
+                step_rng = jax.random.fold_in(rng, int(state.step))
+                state, loss = trainer.train_step(state, batch, step_rng)
+                timer.device(loss)
+                meter.update(float(loss), len(batch["points"]))
+                batch_meter.update(time.time() - end)
+                end = time.time()
+                if it % cfg.print_freq == 0:
+                    logger.info(
+                        f"Train [{epoch}/{cfg.epochs}]"
+                        f"[{it}/{len(train_loader)}] "
+                        f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
+                        f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        t = timer.summary()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s "
-                    f"lr {float(trainer.lr_schedule(int(state.step))):.6f}")
+                    f"lr {float(trainer.lr_schedule(int(state.step))):.6f} "
+                    f"host {t['host_ms_per_step']:.1f}ms/step "
+                    f"device {t['device_ms_per_step']:.1f}ms/step")
+        writer.add_scalar("train/loss", meter.avg, epoch)
+        writer.add_scalar("train/lr",
+                          float(trainer.lr_schedule(int(state.step))), epoch)
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()
@@ -137,6 +158,7 @@ def main():
                 vloss = trainer.eval_step(state, batch)
                 vmeter.update(float(vloss), len(batch["points"]))
             logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
+            writer.add_scalar("val/loss", vmeter.avg, epoch)
 
         save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
 
