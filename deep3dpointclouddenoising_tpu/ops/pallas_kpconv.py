@@ -339,10 +339,149 @@ def _vjp_fwd(features, idx, rel, mask, kpoints, kernel_weights, extent,
     return out, (features, idx, rel, mask, kpoints, kernel_weights)
 
 
+def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
+                       gout_ref, dfeat_ref, dkw_ref, *, extent: float,
+                       influence: str, m_total: int):
+    # Backward twin of _fwd_kernel_onehot: the gather AND the scatter-add
+    # both become one-hot contractions on the MXU.
+    #   d_feat[n,c] = sum_{m,k} onehot[k,m,n] * wc[k,m,c] * gout[m,c]
+    #   d_kw[p,c]   = sum_{m,k} w[k,m,p] * grouped[k,m,c] * gout[m,c]
+    feat = feat_ref[0]                              # (N, C)
+    n = feat.shape[0]
+    idx = idx_ref[0]                                # (Kb, TM, 1)
+    kb_, tm = idx.shape[0], idx.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (kb_, tm, n), 2)
+    onehot = (iota == idx).astype(feat.dtype)       # (Kb, TM, N)
+
+    kpa = kpa_ref[:]
+    kk = kk_ref[:]
+    kw = kw_ref[:]
+    aux = aux_ref[0]                                # (Kb, 5, TM)
+    sq = jax.lax.dot_general(
+        aux, kpa, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) + kk[None]
+    w = _influence_weights(jnp.maximum(sq, 0.0), extent, influence)
+    wc = jax.lax.dot_general(
+        w, kw, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Kb, TM, C)
+
+    # zero out query rows past M (the last M-tile's grid padding reads
+    # undefined memory — NaN in interpret mode; unlike the forward, the
+    # backward ACCUMULATES, so garbage rows would pollute d_features).
+    # Both w and gout are sanitized: 0 * NaN = NaN, so masking one side
+    # is not enough.
+    gout = gout_ref[0].astype(jnp.float32)          # (TM, C)
+    row_ok = (jax.lax.broadcasted_iota(jnp.int32, gout.shape, 0)
+              + pl.program_id(1) * gout.shape[0]) < m_total
+    gout = jnp.where(row_ok, gout, 0.0)
+    w = jnp.where(row_ok[None, :, :1], w, 0.0)
+    wc = jnp.where(row_ok[None, :, :1], wc, 0.0)
+    dwc = wc * gout[None]                           # (Kb, TM, C)
+    # scatter-add as matmul: contract (Kb, TM) jointly
+    dfeat = jax.lax.dot_general(
+        onehot, dwc, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)         # (N, C)
+
+    grouped = jax.lax.dot_general(
+        onehot, feat, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (Kb, TM, C)
+    dkw = jax.lax.dot_general(
+        w, grouped * gout[None],
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)         # (P, C)
+
+    first_chunk = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first_chunk)
+    def _init_dfeat():
+        dfeat_ref[0] = dfeat.astype(dfeat_ref.dtype)
+
+    @pl.when(jnp.logical_not(first_chunk))
+    def _acc_dfeat():
+        dfeat_ref[0] = dfeat_ref[0] + dfeat.astype(dfeat_ref.dtype)
+
+    first_all = first_chunk & (pl.program_id(0) == 0)
+
+    @pl.when(first_all)
+    def _init_dkw():
+        dkw_ref[...] = dkw.astype(dkw_ref.dtype)
+
+    @pl.when(jnp.logical_not(first_all))
+    def _acc_dkw():
+        dkw_ref[...] = dkw_ref[...] + dkw.astype(dkw_ref.dtype)
+
+
+def _bwd_pallas_onehot(features, idx, rel, mask, kpoints, kernel_weights, g,
+                       *, extent: float, influence: str, interpret: bool):
+    B, M, K = idx.shape
+    N, C = features.shape[-2:]
+    P = kpoints.shape[0]
+    tm, kb = _pick_tiles(M, K, C, features.dtype.itemsize, onehot_n=N)
+    k_pad = pl.cdiv(K, kb) * kb
+
+    idx_t = jnp.transpose(idx, (0, 2, 1))
+    idx_t = jnp.pad(idx_t, ((0, 0), (0, k_pad - K), (0, 0)))
+    kpd = ((0, 0), (0, k_pad - K), (0, 0), (0, 0))
+    rel_t = jnp.pad(jnp.transpose(rel, (0, 2, 3, 1)), kpd)
+    rr = jnp.sum(rel * rel, axis=-1)
+    rr_t = jnp.pad(jnp.transpose(rr, (0, 2, 1))[:, :, None, :], kpd)
+    pen_t = jnp.pad(jnp.transpose((1.0 - mask) * _MASK_PENALTY,
+                                  (0, 2, 1))[:, :, None, :], kpd,
+                    constant_values=_MASK_PENALTY)
+    aux = jnp.concatenate([rel_t, rr_t, pen_t], axis=2)
+    kp_aug = jnp.concatenate(
+        [-2.0 * kpoints, jnp.ones((P, 2), kpoints.dtype)], axis=1)
+    kk = jnp.sum(kpoints * kpoints, axis=-1)[None, :]
+
+    grid = (B, pl.cdiv(M, tm), k_pad // kb)
+    kernel = functools.partial(_bwd_kernel_onehot, extent=extent,
+                               influence=influence, m_total=M)
+    d_features, d_kw = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, N, C), features.dtype),
+                   jax.ShapeDtypeStruct((P, C), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, i, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, tm, 1), lambda b, i, k: (b, k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, 5, tm), lambda b, i, k: (b, k, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 5), lambda b, i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda b, i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, C), lambda b, i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, i, k: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, C), lambda b, i, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, C), lambda b, i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(features, idx_t[..., None], aux, kp_aug, kk, kernel_weights, g)
+    return d_features, d_kw
+
+
 def _vjp_bwd(extent, influence, interpret, res, g):
     features, idx, rel, mask, kpoints, kernel_weights = res
     B, M, K = idx.shape
-    C = features.shape[-1]
+    N, C = features.shape[-2:]
+
+    if influence != "constant" and N <= _ONEHOT_MAX_N:
+        d_features, d_kw = _bwd_pallas_onehot(
+            features, idx, rel, mask, kpoints, kernel_weights, g,
+            extent=extent, influence=influence, interpret=interpret)
+        zeros = (jnp.zeros_like(idx), jnp.zeros_like(rel),
+                 jnp.zeros_like(mask), jnp.zeros_like(kpoints))
+        return (d_features, *zeros, d_kw.astype(kernel_weights.dtype))
+
     diff = rel[..., None, :] - kpoints[None, None, None, :, :]
     sq = jnp.sum(diff * diff, axis=-1)
     w = _influence_weights(sq, extent, influence) * mask[..., None]

@@ -114,3 +114,27 @@ def test_model_pallas_path_matches_jnp(rng):
     out_pl = model2.apply(variables, xyz, mask, feats, train=False)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_jnp),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_fused_gradients_tile_boundary(rng):
+    """Gradients with M not divisible by the tile size (exercises the
+    backward kernel's padded-row masking)."""
+    features, idx, rel, mask, kpoints, kw = make_inputs(rng, B=2, M=131,
+                                                        K=5, C=8, N=40)
+    extent = 0.12
+
+    def loss_fused(f, w):
+        out = kpconv_aggregate(f, idx, rel, mask, kpoints, w, extent,
+                               "linear", True)
+        return jnp.sum(out * out)
+
+    def loss_ref(f, w):
+        out = kpconv_aggregate_reference(gather(f, idx), rel, mask, kpoints,
+                                         w, extent=extent, influence="linear")
+        return jnp.sum(out * out)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(features, kw)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(features, kw)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
