@@ -372,11 +372,14 @@ def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
     # Both w and gout are sanitized: 0 * NaN = NaN, so masking one side
     # is not enough.
     gout = gout_ref[0].astype(jnp.float32)          # (TM, C)
-    row_ok = (jax.lax.broadcasted_iota(jnp.int32, gout.shape, 0)
-              + pl.program_id(1) * gout.shape[0]) < m_total
+    tm_ = gout.shape[0]
+    # (TM, 1) validity column built directly at that shape (a [:, :1]
+    # slice of a wider mask lowers to lax.gather, which Mosaic rejects)
+    row_ok = (jax.lax.broadcasted_iota(jnp.int32, (tm_, 1), 0)
+              + pl.program_id(1) * tm_) < m_total
     gout = jnp.where(row_ok, gout, 0.0)
-    w = jnp.where(row_ok[None, :, :1], w, 0.0)
-    wc = jnp.where(row_ok[None, :, :1], wc, 0.0)
+    w = jnp.where(row_ok[None], w, 0.0)
+    wc = jnp.where(row_ok[None], wc, 0.0)
     dwc = wc * gout[None]                           # (Kb, TM, C)
     # scatter-add as matmul: contract (Kb, TM) jointly
     dfeat = jax.lax.dot_general(

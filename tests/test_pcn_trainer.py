@@ -1,0 +1,59 @@
+"""PCN-baseline trainer: losses, STN rotation handling, training step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep3dpointclouddenoising_tpu.config import default_config
+from deep3dpointclouddenoising_tpu.models import build_offset_regression_PCN
+from deep3dpointclouddenoising_tpu.train.pcn import PCNTrainer, surface_dist
+
+
+def tiny_cfg(loss="L1"):
+    cfg = default_config()
+    cfg.num_points = 32
+    cfg.loss = loss
+    cfg.in_radius = 0.5
+    cfg.batch_size = 4
+    cfg.base_learning_rate = 1e-3
+    cfg.optimizer = "sgd"
+    cfg.lr_scheduler = "step_PCN"
+    cfg.lr_decay_steps = 0.1
+    cfg.warmup_epoch = -1
+    cfg.epochs = 5
+    cfg.momentum = 0.9
+    cfg.weight_decay = 0.0
+    return cfg
+
+
+def make_batch(rng, B=4, N=32):
+    return {
+        "points": jnp.asarray(rng.random((B, N, 3), dtype=np.float32) - 0.5),
+        "offsets": jnp.asarray(
+            rng.normal(size=(B, N, 3)).astype(np.float32) * 0.01),
+    }
+
+
+def test_surface_dist_zero_for_exact_match():
+    target = jnp.asarray(np.random.default_rng(0).random((2, 16, 3),
+                                                         dtype=np.float32))
+    pred = target[:, 0, :]
+    assert float(surface_dist(pred, target)) < 1e-9
+    # regularized version adds the max distance term
+    assert float(surface_dist(pred, target, regularization=True)) > 0
+
+
+@pytest.mark.parametrize("loss", ["L1", "original", "original_no_reg"])
+def test_pcn_train_step_runs(rng, loss):
+    cfg = tiny_cfg(loss)
+    model, _ = build_offset_regression_PCN(cfg)
+    trainer = PCNTrainer(cfg, model, n_iter_per_epoch=10)
+    batch = make_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, l1 = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    state, l2 = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    vl = trainer.eval_step(state, batch)
+    assert np.isfinite(float(vl))
+    pred = trainer.predict(state, batch["points"])
+    assert pred.shape == (4, 3)
