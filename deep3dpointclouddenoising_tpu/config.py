@@ -123,6 +123,9 @@ def default_config() -> Config:
     # pallas kernels for hot ops: "auto" = on when running on TPU,
     # 0/1 force off/on (forced-on + CPU backend runs in interpret mode)
     c.use_pallas = "auto"
+    # matmul compute dtype: float32 | bfloat16 (params and BatchNorm stay
+    # float32; bfloat16 feeds the MXU at twice the rate)
+    c.compute_dtype = "float32"
     # -- data ---------------------------------------------------------------
     c.datasets = "modelnet40"
     c.dataset = "PCN"

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import Config
-from .layers import ConvBN, masked_global_avg_pool, torch_bn_momentum
+from .layers import ConvBN, compute_dtype, masked_global_avg_pool, \
+    torch_bn_momentum
 from .pyramid import Pyramid
 
 
@@ -67,8 +68,10 @@ class UNetDecoder(nn.Module):
             lvl = 4 - step  # upsample level -> level-1
             tr = pyramid.transitions[lvl - 1]
             x = nearest_upsample(x, tr.up_idx)
-            x = jnp.concatenate([x, feats[lvl - 1]], axis=-1)
-            x = ConvBN(out_w, self.cfg.bn_momentum)(x, train)
+            x = jnp.concatenate([x, feats[lvl - 1].astype(x.dtype)],
+                                axis=-1)
+            x = ConvBN(out_w, self.cfg.bn_momentum,
+                       dtype=compute_dtype(self.cfg))(x, train)
         return x  # (B, N, w/2) at input resolution
 
 
@@ -84,10 +87,11 @@ class MultiDimHead(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         w = int(self.cfg.width)
         x = UNetDecoder(self.cfg)(pyramid, feats, train)
-        x = ConvBN(w // 2, self.cfg.bn_momentum)(x, train)
+        x = ConvBN(w // 2, self.cfg.bn_momentum,
+                   dtype=compute_dtype(self.cfg))(x, train)
         x = nn.Dense(self.num_out, use_bias=True,
                      kernel_init=nn.initializers.he_normal())(x)
-        return x  # (B, N, num_out)
+        return x.astype(jnp.float32)  # (B, N, num_out)
 
 
 class SceneSegHead(nn.Module):

@@ -9,10 +9,17 @@ collectives), which subsumes the reference's per-GPU BN
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def compute_dtype(cfg) -> Any:
+    """Resolve cfg.compute_dtype to a jnp dtype (None = float32
+    promotion)."""
+    name = str(getattr(cfg, "compute_dtype", "float32"))
+    return jnp.bfloat16 if name == "bfloat16" else None
 
 
 def torch_bn_momentum(m: float) -> float:
@@ -22,14 +29,20 @@ def torch_bn_momentum(m: float) -> float:
 
 
 class ConvBN(nn.Module):
-    """1x1 conv (Dense, no bias) + BatchNorm, optional ReLU."""
+    """1x1 conv (Dense, no bias) + BatchNorm, optional ReLU.
+
+    ``dtype`` is the matmul compute dtype (bfloat16 under
+    cfg.compute_dtype='bfloat16'); parameters and the BatchNorm statistics
+    stay float32 (flax promotes the BN input back to the f32 params).
+    """
     features: int
     bn_momentum: float = 0.1  # torch convention
     relu: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.features, use_bias=False,
+        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.he_normal())(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=torch_bn_momentum(self.bn_momentum),

@@ -25,7 +25,7 @@ from ..config import Config
 from ..ops import group_features
 from ..ops.pallas_kpconv import kpconv_aggregate
 from .kernel_points import create_kernel_points
-from .layers import BNReLU, ConvBN
+from .layers import BNReLU, ConvBN, compute_dtype
 from .pyramid import Neighborhood
 
 
@@ -100,10 +100,14 @@ class PseudoGrid(nn.Module):
             (int(pg.num_kernel_points), c))
 
         use_fused, interpret = _pallas_mode(self.cfg)
+        dt = compute_dtype(self.cfg)
         if use_fused:
             # fused Pallas kernel: influence weights + both contractions
-            # stay in VMEM (ops/pallas_kpconv.py)
-            out = kpconv_aggregate(support_features, nbr.idx, nbr.rel_xyz,
+            # stay in VMEM (ops/pallas_kpconv.py); bf16 features halve the
+            # one-hot matmul cost
+            feats_in = support_features if dt is None \
+                else support_features.astype(dt)
+            out = kpconv_aggregate(feats_in, nbr.idx, nbr.rel_xyz,
                                    fmask, kpoints, kernel_weights,
                                    float(extent), pg.KP_influence, interpret)
         else:
@@ -126,7 +130,8 @@ class PseudoGrid(nn.Module):
             out = jnp.einsum("bmpc,pc->bmc", per_kp, kernel_weights)
 
         if pg.output_conv or self.in_channels != self.out_channels:
-            out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
+            out = ConvBN(self.out_channels, self.cfg.bn_momentum,
+                         dtype=compute_dtype(self.cfg))(out, train)
         else:
             out = BNReLU(self.cfg.bn_momentum)(out, train)
         return out
@@ -168,7 +173,8 @@ class PosPool(nn.Module):
 
         out = _masked_reduce(agg, nbr, query_mask, pp.reduction)
         if pp.output_conv or self.in_channels != self.out_channels:
-            out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
+            out = ConvBN(self.out_channels, self.cfg.bn_momentum,
+                         dtype=compute_dtype(self.cfg))(out, train)
         else:
             out = BNReLU(self.cfg.bn_momentum)(out, train)
         return out
@@ -208,7 +214,8 @@ class AdaptiveWeight(nn.Module):
         agg = agg.reshape(B, M, K, C)
         out = _masked_reduce(agg, nbr, query_mask, aw.reduction)
         if aw.output_conv or self.in_channels != self.out_channels:
-            out = ConvBN(self.out_channels, self.cfg.bn_momentum)(out, train)
+            out = ConvBN(self.out_channels, self.cfg.bn_momentum,
+                         dtype=compute_dtype(self.cfg))(out, train)
         else:
             out = BNReLU(self.cfg.bn_momentum)(out, train)
         return out
@@ -243,13 +250,17 @@ class PointWiseMLP(nn.Module):
 
         n_mlps = int(pw.num_mlps)
         if n_mlps == 1:
-            x = ConvBN(self.out_channels, self.cfg.bn_momentum)(x, train)
+            x = ConvBN(self.out_channels, self.cfg.bn_momentum,
+                         dtype=compute_dtype(self.cfg))(x, train)
         else:
             mfdim = max(self.in_channels // 2, 9)
-            x = ConvBN(mfdim, self.cfg.bn_momentum)(x, train)
+            x = ConvBN(mfdim, self.cfg.bn_momentum,
+                       dtype=compute_dtype(self.cfg))(x, train)
             for _ in range(n_mlps - 2):
-                x = ConvBN(mfdim, self.cfg.bn_momentum)(x, train)
-            x = ConvBN(self.out_channels, self.cfg.bn_momentum)(x, train)
+                x = ConvBN(mfdim, self.cfg.bn_momentum,
+                       dtype=compute_dtype(self.cfg))(x, train)
+            x = ConvBN(self.out_channels, self.cfg.bn_momentum,
+                         dtype=compute_dtype(self.cfg))(x, train)
         return _masked_reduce(x, nbr, query_mask, pw.reduction)
 
 

@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from ..config import Config
 from ..ops import group_features
-from .layers import ConvBN
+from .layers import ConvBN, compute_dtype
 from .local_aggregation import LocalAggregation
 from .pyramid import Neighborhood, Pyramid
 
@@ -51,14 +51,16 @@ class Bottleneck(nn.Module):
         else:
             identity = features
 
-        x = ConvBN(mid, self.cfg.bn_momentum)(features, train)
+        dt = compute_dtype(self.cfg)
+        x = ConvBN(mid, self.cfg.bn_momentum, dtype=dt)(features, train)
         x = LocalAggregation(mid, mid, self.radius, self.cfg)(
             x, nbr, query_mask, train)
-        x = ConvBN(self.out_channels, self.cfg.bn_momentum, relu=False)(x, train)
+        x = ConvBN(self.out_channels, self.cfg.bn_momentum, relu=False,
+                   dtype=dt)(x, train)
 
         if self.in_channels != self.out_channels:
             identity = ConvBN(self.out_channels, self.cfg.bn_momentum,
-                              relu=False)(identity, train)
+                              relu=False, dtype=dt)(identity, train)
         return nn.relu(x + identity)
 
 
@@ -77,7 +79,8 @@ class ResNetEncoder(nn.Module):
         L0 = pyramid.levels[0]
 
         # stem: conv1 -> la1 -> btnk1, all at input resolution
-        x = ConvBN(width // 2, cfg.bn_momentum)(features, train)
+        x = ConvBN(width // 2, cfg.bn_momentum,
+                   dtype=compute_dtype(cfg))(features, train)
         x = LocalAggregation(width // 2, width // 2, r0, cfg)(
             x, L0.self_nbr, L0.mask, train)
         x = Bottleneck(width // 2, width, r0, cfg)(x, L0.self_nbr, L0.mask,

@@ -381,18 +381,30 @@ def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
     w = jnp.where(row_ok[None], w, 0.0)
     wc = jnp.where(row_ok[None], wc, 0.0)
     dwc = wc * gout[None]                           # (Kb, TM, C)
-    # scatter-add as matmul: contract (Kb, TM) jointly
-    dfeat = jax.lax.dot_general(
-        onehot, dwc, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32)         # (N, C)
-
     grouped = jax.lax.dot_general(
         onehot, feat, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)         # (Kb, TM, C)
-    dkw = jax.lax.dot_general(
-        w, grouped * gout[None],
-        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32)         # (P, C)
+    gg = grouped * gout[None]
+
+    # Mosaic has no multi-dim-contraction matmul; reduce the neighbor axis
+    # with a loop of transposed 2-D matmuls (contraction over TM).
+    p = w.shape[-1]
+    c = feat.shape[-1]
+    n = feat.shape[0]
+
+    def body(k, carry):
+        dfeat_acc, dkw_acc = carry
+        dfeat_acc = dfeat_acc + jax.lax.dot_general(
+            onehot[k], dwc[k], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (N, C)
+        dkw_acc = dkw_acc + jax.lax.dot_general(
+            w[k], gg[k], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (P, C)
+        return dfeat_acc, dkw_acc
+
+    dfeat, dkw = jax.lax.fori_loop(
+        0, kb_, body, (jnp.zeros((n, c), jnp.float32),
+                       jnp.zeros((p, c), jnp.float32)))
 
     first_chunk = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
