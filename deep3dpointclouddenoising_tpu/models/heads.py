@@ -24,8 +24,9 @@ def nearest_upsample(coarse_features: jnp.ndarray, up_idx: jnp.ndarray
                      ) -> jnp.ndarray:
     """(B, N_coarse, C), (B, N_fine) -> (B, N_fine, C): copy each fine
     point's nearest coarse feature (MaskedUpsample mode='nearest',
-    pt_utils.py:224-226)."""
-    return jnp.take_along_axis(coarse_features, up_idx[..., None], axis=1)
+    pt_utils.py:224-226).  Scatter-free backward via ops.gather_rows."""
+    from ..ops.neighbors import gather_rows
+    return gather_rows(coarse_features, up_idx)
 
 
 def masked_upsample(coarse_features: jnp.ndarray, nbr, *,

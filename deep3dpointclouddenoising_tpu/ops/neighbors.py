@@ -166,18 +166,63 @@ def masked_nearest_query(query_xyz: jnp.ndarray, support_xyz: jnp.ndarray,
     return jax.lax.stop_gradient(idx), jax.lax.stop_gradient(query_mask)
 
 
+_ONEHOT_BWD_MAX_N = 2048
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows_impl(features: jnp.ndarray, idx: jnp.ndarray, n: int,
+                      dtype) -> jnp.ndarray:
+    """(B, N, C) x (B, R) -> (B, R, C) row gather whose BACKWARD is a
+    one-hot matmul instead of an XLA scatter-add.
+
+    TPU scatters serialize (~20 GB/s effective); for the support-set sizes
+    this framework uses (<= ~2k rows) the transposed one-hot contraction
+    d_feat[b,n,c] = sum_r [idx[b,r]==n] * g[b,r,c] runs on the MXU orders of
+    magnitude faster.  This is the autodiff twin of the reference's
+    hand-written atomicAdd kernel (group_points_gpu.cu:42-80).
+    """
+    return jnp.take_along_axis(features, idx[..., None], axis=1)
+
+
+def _gather_rows_fwd(features, idx, n, dtype):
+    return _gather_rows_impl(features, idx, n, dtype), idx
+
+
+def _gather_rows_bwd(n, dtype, idx, g):
+    B = idx.shape[0]
+    if n <= _ONEHOT_BWD_MAX_N:
+        onehot = jax.nn.one_hot(idx, n, dtype=g.dtype)     # (B, R, N)
+        d_features = jnp.einsum("brn,brc->bnc", onehot, g)
+    else:
+        d_features = jnp.zeros((B, n, g.shape[-1]), g.dtype).at[
+            jnp.arange(B)[:, None], idx].add(g)
+    return d_features.astype(dtype), jnp.zeros_like(idx)
+
+
+_gather_rows_impl.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def _gather_rows(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return _gather_rows_impl(features, idx, int(features.shape[1]),
+                             jnp.dtype(features.dtype).name)
+
+
 def group_features(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighbor features: (B, N, C) x (B, M, K) -> (B, M, K, C).
 
     Equivalent of ``_ext.group_points`` (group_points_gpu.cu:13-38) in
-    channels-last layout; the backward pass (scatter-add,
-    group_points_gpu.cu:42-80) falls out of JAX autodiff.
+    channels-last layout; the backward scatter-add runs as a one-hot matmul
+    for small support sets (see :func:`_gather_rows`).
     """
     B, N, C = features.shape
     _, M, K = idx.shape
-    flat = idx.reshape(B, M * K)
-    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    out = _gather_rows(features, idx.reshape(B, M * K))
     return out.reshape(B, M, K, C)
+
+
+def gather_rows(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, C) x (B, R) -> (B, R, C) gather with scatter-free backward."""
+    return _gather_rows(features, idx)
 
 
 def group_xyz(support_xyz: jnp.ndarray, query_xyz: jnp.ndarray,

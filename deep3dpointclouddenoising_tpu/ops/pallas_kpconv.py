@@ -220,6 +220,20 @@ def _fwd_pallas(features: jnp.ndarray, idx: jnp.ndarray, rel: jnp.ndarray,
         summed = jnp.sum(grouped * mask[..., None], axis=2)
         return summed * jnp.sum(kernel_weights, axis=0)[None, None, :]
 
+    if M <= 128 and M % 32:
+        # Mosaic folds the (Kb, TM) leading dims for the batched dots, which
+        # requires TM to be a sublane-tile multiple (16 for bf16); pad the
+        # query axis (mask=0 -> penalty row disables the padding) and slice
+        # the output back.
+        m_pad = -(-M // 32) * 32
+        pq = ((0, 0), (0, m_pad - M))
+        out = _fwd_pallas(
+            features, jnp.pad(idx, pq + ((0, 0),)),
+            jnp.pad(rel, pq + ((0, 0), (0, 0))), jnp.pad(mask, pq + ((0, 0),)),
+            kpoints, kernel_weights, extent=extent, influence=influence,
+            interpret=interpret)
+        return out[:, :M]
+
     onehot_gather = N <= _ONEHOT_MAX_N
     tm, kb = _pick_tiles(M, K, C, features.dtype.itemsize,
                          onehot_n=N if onehot_gather else 0)
@@ -386,25 +400,22 @@ def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
         preferred_element_type=jnp.float32)         # (Kb, TM, C)
     gg = grouped * gout[None]
 
-    # Mosaic has no multi-dim-contraction matmul; reduce the neighbor axis
-    # with a loop of transposed 2-D matmuls (contraction over TM).
+    # Mosaic has no multi-dim-contraction matmul, and dynamic_slice on
+    # values is unsupported in kernels — reduce the neighbor axis with a
+    # STATICALLY-unrolled loop of transposed 2-D matmuls (contraction over
+    # TM; kb_ is a compile-time constant).
     p = w.shape[-1]
     c = feat.shape[-1]
     n = feat.shape[0]
-
-    def body(k, carry):
-        dfeat_acc, dkw_acc = carry
-        dfeat_acc = dfeat_acc + jax.lax.dot_general(
+    dfeat = jnp.zeros((n, c), jnp.float32)
+    dkw = jnp.zeros((p, c), jnp.float32)
+    for k in range(kb_):
+        dfeat = dfeat + jax.lax.dot_general(
             onehot[k], dwc[k], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (N, C)
-        dkw_acc = dkw_acc + jax.lax.dot_general(
+        dkw = dkw + jax.lax.dot_general(
             w[k], gg[k], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (P, C)
-        return dfeat_acc, dkw_acc
-
-    dfeat, dkw = jax.lax.fori_loop(
-        0, kb_, body, (jnp.zeros((n, c), jnp.float32),
-                       jnp.zeros((p, c), jnp.float32)))
 
     first_chunk = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
@@ -432,6 +443,15 @@ def _bwd_pallas_onehot(features, idx, rel, mask, kpoints, kernel_weights, g,
     B, M, K = idx.shape
     N, C = features.shape[-2:]
     P = kpoints.shape[0]
+    if M <= 128 and M % 32:
+        # see the forward's query-axis padding note
+        m_pad = -(-M // 32) * 32
+        pq = ((0, 0), (0, m_pad - M))
+        return _bwd_pallas_onehot(
+            features, jnp.pad(idx, pq + ((0, 0),)),
+            jnp.pad(rel, pq + ((0, 0), (0, 0))), jnp.pad(mask, pq + ((0, 0),)),
+            kpoints, kernel_weights, jnp.pad(g, pq + ((0, 0),)),
+            extent=extent, influence=influence, interpret=interpret)
     tm, kb = _pick_tiles(M, K, C, features.dtype.itemsize, onehot_n=N)
     k_pad = pl.cdiv(K, kb) * kb
 
