@@ -353,23 +353,31 @@ def _vjp_fwd(features, idx, rel, mask, kpoints, kernel_weights, extent,
     return out, (features, idx, rel, mask, kpoints, kernel_weights)
 
 
-def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
-                       gout_ref, dfeat_ref, dkw_ref, *, extent: float,
-                       influence: str, m_total: int):
+def _bwd_kernel_onehot(feat_ref, idx_ref, idxr_ref, aux_ref, kpa_ref, kk_ref,
+                       kkt_ref, kw_ref, gout_ref, dfeat_ref, dkw_ref, *,
+                       extent: float, influence: str, m_total: int):
     # Backward twin of _fwd_kernel_onehot: the gather AND the scatter-add
     # both become one-hot contractions on the MXU.
     #   d_feat[n,c] = sum_{m,k} onehot[k,m,n] * wc[k,m,c] * gout[m,c]
     #   d_kw[p,c]   = sum_{m,k} w[k,m,p] * grouped[k,m,c] * gout[m,c]
+    # Every matmul contracts the LANE axis of its lhs against the SUBLANE
+    # axis of its rhs (normal orientation): the transposed one-hot and the
+    # transposed weights are BUILT in transposed layout (idx in two layouts,
+    # sq computed twice) instead of contracting over sublanes, which would
+    # make Mosaic materialize operand transposes.
     feat = feat_ref[0]                              # (N, C)
     n = feat.shape[0]
     idx = idx_ref[0]                                # (Kb, TM, 1)
+    idx_r = idxr_ref[0]                             # (Kb, 1, TM)
     kb_, tm = idx.shape[0], idx.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (kb_, tm, n), 2)
     onehot = (iota == idx).astype(feat.dtype)       # (Kb, TM, N)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (kb_, n, tm), 1)
+    onehot_t = (iota_t == idx_r).astype(feat.dtype)  # (Kb, N, TM)
 
-    kpa = kpa_ref[:]
-    kk = kk_ref[:]
-    kw = kw_ref[:]
+    kpa = kpa_ref[:]                                # (P, 5)
+    kk = kk_ref[:]                                  # (1, P)
+    kw = kw_ref[:]                                  # (P, C)
     aux = aux_ref[0]                                # (Kb, 5, TM)
     sq = jax.lax.dot_general(
         aux, kpa, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -379,20 +387,19 @@ def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
     wc = jax.lax.dot_general(
         w, kw, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)         # (Kb, TM, C)
+    del w
+    kkt = kkt_ref[:]                                # (P, 1)
 
     # zero out query rows past M (the last M-tile's grid padding reads
     # undefined memory — NaN in interpret mode; unlike the forward, the
     # backward ACCUMULATES, so garbage rows would pollute d_features).
-    # Both w and gout are sanitized: 0 * NaN = NaN, so masking one side
-    # is not enough.
+    # Both sides of every product are sanitized: 0 * NaN = NaN.
     gout = gout_ref[0].astype(jnp.float32)          # (TM, C)
-    tm_ = gout.shape[0]
-    # (TM, 1) validity column built directly at that shape (a [:, :1]
-    # slice of a wider mask lowers to lax.gather, which Mosaic rejects)
-    row_ok = (jax.lax.broadcasted_iota(jnp.int32, (tm_, 1), 0)
-              + pl.program_id(1) * tm_) < m_total
+    row_ok = (jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+              + pl.program_id(1) * tm) < m_total
+    row_ok_t = (jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
+                + pl.program_id(1) * tm) < m_total
     gout = jnp.where(row_ok, gout, 0.0)
-    w = jnp.where(row_ok[None], w, 0.0)
     wc = jnp.where(row_ok[None], wc, 0.0)
     dwc = wc * gout[None]                           # (Kb, TM, C)
     grouped = jax.lax.dot_general(
@@ -402,19 +409,25 @@ def _bwd_kernel_onehot(feat_ref, idx_ref, aux_ref, kpa_ref, kk_ref, kw_ref,
 
     # Mosaic has no multi-dim-contraction matmul, and dynamic_slice on
     # values is unsupported in kernels — reduce the neighbor axis with a
-    # STATICALLY-unrolled loop of transposed 2-D matmuls (contraction over
-    # TM; kb_ is a compile-time constant).
-    p = w.shape[-1]
+    # STATICALLY-unrolled loop of 2-D matmuls (kb_ is compile-time); the
+    # transposed weights are recomputed per chunk in (P, TM) layout so no
+    # matmul contracts over a sublane axis.
+    p = kpa.shape[0]
     c = feat.shape[-1]
-    n = feat.shape[0]
     dfeat = jnp.zeros((n, c), jnp.float32)
     dkw = jnp.zeros((p, c), jnp.float32)
     for k in range(kb_):
         dfeat = dfeat + jax.lax.dot_general(
-            onehot[k], dwc[k], dimension_numbers=(((0,), (0,)), ((), ())),
+            onehot_t[k], dwc[k], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (N, C)
+        sqt_k = jax.lax.dot_general(
+            kpa, aux[k], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + kkt  # (P, TM)
+        wt_k = _influence_weights(jnp.maximum(sqt_k, 0.0), extent, influence)
+        wt_k = jnp.where(row_ok_t, wt_k, 0.0)
         dkw = dkw + jax.lax.dot_general(
-            w[k], gg[k], dimension_numbers=(((0,), (0,)), ((), ())),
+            wt_k, gg[k], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (P, C)
 
     first_chunk = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
@@ -482,11 +495,15 @@ def _bwd_pallas_onehot(features, idx, rel, mask, kpoints, kernel_weights, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kb, tm, 1), lambda b, i, k: (b, k, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, 1, tm), lambda b, i, k: (b, k, 0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kb, 5, tm), lambda b, i, k: (b, k, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 5), lambda b, i, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P), lambda b, i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda b, i, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, C), lambda b, i, k: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -500,7 +517,8 @@ def _bwd_pallas_onehot(features, idx, rel, mask, kpoints, kernel_weights, g,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(features, idx_t[..., None], aux, kp_aug, kk, kernel_weights, g)
+    )(features, idx_t[..., None], idx_t[:, :, None, :], aux, kp_aug, kk,
+      jnp.transpose(kk), kernel_weights, g)
     return d_features, d_kw
 
 
