@@ -118,3 +118,26 @@ def test_other_task_models(rng):
     out = m.apply(v, xyz, mask, feats)
     assert out.shape == (2, 1)
     assert np.all((np.asarray(out) >= 0) & (np.asarray(out) <= 1))
+
+
+def test_bfloat16_compute_parity(rng):
+    """bfloat16 compute mode stays numerically close to float32 (params and
+    BN statistics are float32 in both; only matmul compute dtype changes)."""
+    xyz, mask, feats = tiny_batch(rng)
+    cfg32 = tiny_config()
+    model32 = OffsetRegressionModel(cfg=cfg32)
+    variables = model32.init(jax.random.PRNGKey(0), xyz, mask, feats,
+                             train=False)
+    out32 = np.asarray(model32.apply(variables, xyz, mask, feats,
+                                     train=False))
+
+    cfg16 = tiny_config(compute_dtype="bfloat16")
+    model16 = OffsetRegressionModel(cfg=cfg16)
+    out16 = np.asarray(model16.apply(variables, xyz, mask, feats,
+                                     train=False).astype(jnp.float32))
+    assert out16.dtype == np.float32 or out16.dtype == np.dtype("float32")
+    scale = np.abs(out32).max() + 1e-9
+    assert np.abs(out16 - out32).max() / scale < 0.1
+    # correlation stays high: same function up to rounding
+    c = np.corrcoef(out32.ravel(), out16.ravel())[0, 1]
+    assert c > 0.99
