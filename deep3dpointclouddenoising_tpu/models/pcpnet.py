@@ -73,12 +73,23 @@ class BasicBlock(nn.Module):
         return nn.relu(out + sc)
 
 
+def _per_scale_max(x: jnp.ndarray, num_scales: int) -> jnp.ndarray:
+    """(B, S*N, C) -> (B, S*C): symmetric max within each scale's segment
+    (the reference's per-scale MaxPool1d loop, pcpnet.py:44-50/419-427)."""
+    B, SN, C = x.shape
+    n = SN // num_scales
+    return jnp.max(x.reshape(B, num_scales, n, C), axis=2).reshape(B, -1)
+
+
 class STN(nn.Module):
     """Spatial transformer (pcpnet.py:12-90); quaternion output mode adds
-    the identity quaternion and converts to a rotation matrix."""
+    the identity quaternion and converts to a rotation matrix.  For
+    ``num_scales > 1`` the max pool runs per scale segment and an extra
+    1024 layer merges the concatenated scale features (pcpnet.py:38-57)."""
     dim: int = 3
     quaternion: bool = False
     residual: bool = False  # ResSTN (pcpnet.py:258-330) uses BasicBlocks
+    num_scales: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -87,7 +98,9 @@ class STN(nn.Module):
             h = BasicBlock(64)(x, train)
             h = BasicBlock(128)(h, train)
             h = BasicBlock(1024)(h, train)
-            h = jnp.max(h, axis=1)
+            h = _per_scale_max(h, self.num_scales)
+            if self.num_scales > 1:
+                h = BasicBlock(1024)(h, train)
             h = BasicBlock(512)(h, train)
             h = BasicBlock(256)(h, train)
             h = BasicBlock(4 if self.quaternion else self.dim ** 2)(h, train)
@@ -95,7 +108,9 @@ class STN(nn.Module):
             h = DenseBN(64)(x, train)
             h = DenseBN(128)(h, train)
             h = DenseBN(1024)(h, train)
-            h = jnp.max(h, axis=1)
+            h = _per_scale_max(h, self.num_scales)
+            if self.num_scales > 1:
+                h = DenseBN(1024)(h, train)
             h = DenseBN(512)(h, train)
             h = DenseBN(256)(h, train)
             h = nn.Dense(4 if self.quaternion else self.dim ** 2)(h)
@@ -108,11 +123,16 @@ class STN(nn.Module):
 
 class PointNetFeat(nn.Module):
     """PointNet global feature extractor (pcpnet.py:93-211 /
-    ResPointNetfeat :331-434)."""
+    ResPointNetfeat :331-434).  ``num_scales > 1`` expects the scales
+    concatenated along the point axis (B, S*N, 3) and emits a
+    (B, 1024*S^2) global feature: the 1024 layer widens to 1024*S, then
+    the symmetric op reduces each scale's segment separately
+    (pcpnet.py:398-427)."""
     use_point_stn: bool = True
     use_feat_stn: bool = True
     sym_op: str = "max"
     residual: bool = True
+    num_scales: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,21 +140,27 @@ class PointNetFeat(nn.Module):
             else (lambda c: DenseBN(c))
         trans = trans2 = None
         if self.use_point_stn:
-            trans = STN(dim=3, quaternion=True,
-                        residual=self.residual)(x, train)
+            trans = STN(dim=3, quaternion=True, residual=self.residual,
+                        num_scales=self.num_scales)(x, train)
             x = jnp.einsum("bnd,bde->bne", x, trans)
         x = Block(64)(x, train)
         x = Block(64)(x, train)
         if self.use_feat_stn:
-            trans2 = STN(dim=64, residual=self.residual)(x, train)
+            trans2 = STN(dim=64, residual=self.residual,
+                         num_scales=self.num_scales)(x, train)
             x = jnp.einsum("bnd,bde->bne", x, trans2)
         x = Block(64)(x, train)
         x = Block(128)(x, train)
         x = Block(1024)(x, train)
+        if self.num_scales > 1:
+            x = Block(1024 * self.num_scales)(x, train)
         if self.sym_op == "max":
-            x = jnp.max(x, axis=1)
+            x = _per_scale_max(x, self.num_scales)
         elif self.sym_op == "sum":
-            x = jnp.sum(x, axis=1)
+            B, SN, C = x.shape
+            n = SN // self.num_scales
+            x = jnp.sum(x.reshape(B, self.num_scales, n, C),
+                        axis=2).reshape(B, -1)
         else:
             raise ValueError(f"Unsupported symmetric op {self.sym_op}")
         return x, trans, trans2
@@ -175,6 +201,54 @@ class PCPNet(nn.Module):
             use_point_stn=self.use_point_stn, use_feat_stn=self.use_feat_stn,
             sym_op=self.sym_op, residual=False)(x, train)
         h = DenseBN(512)(feat, train)
+        h = nn.Dropout(0.3, deterministic=not train)(h)
+        h = DenseBN(256)(h, train)
+        h = nn.Dropout(0.3, deterministic=not train)(h)
+        h = nn.Dense(self.output_dim)(h)
+        return h, trans, trans2
+
+
+class ResMSPCPNet(nn.Module):
+    """Multi-scale residual PCPNet (pcpnet.py:463-487): input is the scales
+    concatenated along the point axis; a 1024 block merges the
+    (B, 1024*S^2) multi-scale feature before the regression head."""
+    num_scales: int = 2
+    num_points: int = 500
+    output_dim: int = 3
+    use_point_stn: bool = True
+    use_feat_stn: bool = True
+    sym_op: str = "max"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat, trans, trans2 = PointNetFeat(
+            use_point_stn=self.use_point_stn, use_feat_stn=self.use_feat_stn,
+            sym_op=self.sym_op, residual=True,
+            num_scales=self.num_scales)(x, train)
+        h = BasicBlock(1024)(feat, train)
+        h = BasicBlock(512)(h, train)
+        h = BasicBlock(256)(h, train)
+        h = BasicBlock(self.output_dim)(h, train)
+        return h, trans, trans2
+
+
+class MSPCPNet(nn.Module):
+    """Multi-scale vanilla PCPNet (pcpnet.py:528-560)."""
+    num_scales: int = 2
+    num_points: int = 500
+    output_dim: int = 3
+    use_point_stn: bool = True
+    use_feat_stn: bool = True
+    sym_op: str = "max"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat, trans, trans2 = PointNetFeat(
+            use_point_stn=self.use_point_stn, use_feat_stn=self.use_feat_stn,
+            sym_op=self.sym_op, residual=False,
+            num_scales=self.num_scales)(x, train)
+        h = DenseBN(1024)(feat, train)
+        h = DenseBN(512)(h, train)
         h = nn.Dropout(0.3, deterministic=not train)(h)
         h = DenseBN(256)(h, train)
         h = nn.Dropout(0.3, deterministic=not train)(h)

@@ -57,3 +57,28 @@ def test_pcn_train_step_runs(rng, loss):
     assert np.isfinite(float(vl))
     pred = trainer.predict(state, batch["points"])
     assert pred.shape == (4, 3)
+
+
+def test_multiscale_pcpnet_forward():
+    """MS variants take (B, S*N, 3) and emit one vector per patch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deep3dpointclouddenoising_tpu.models.pcpnet import (
+        MSPCPNet, ResMSPCPNet)
+
+    B, S, N = 2, 2, 32
+    x = jnp.asarray(np.random.default_rng(0).random((B, S * N, 3),
+                                                    dtype=np.float32))
+    for cls in (ResMSPCPNet, MSPCPNet):
+        m = cls(num_scales=S, num_points=N)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out, trans, trans2 = m.apply(v, x, train=False)
+        assert out.shape == (B, 3)
+        assert trans.shape == (B, 3, 3)
+        assert trans2.shape == (B, 64, 64)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # the multi-scale global feature is 1024*S^2 wide
+        feat_params = jax.tree_util.tree_leaves(v["params"])
+        assert any(p.ndim == 2 and p.shape[0] == 1024 * S * S
+                   for p in feat_params)
