@@ -76,7 +76,27 @@ def _cpu_baseline_pps() -> float:
 
 
 def main():
-    pps = measure_forward_pps()
+    # The tunneled-TPU backend occasionally drops (UNAVAILABLE on init);
+    # retry a few times before giving up so a transient outage at
+    # round-end still produces a bench line.
+    pps = None
+    last_err = None
+    for attempt in range(3):
+        try:
+            pps = measure_forward_pps()
+            break
+        except Exception as e:  # backend init / compile relay errors
+            last_err = e
+            time.sleep(60 * attempt + 10)
+    if pps is None:
+        print(json.dumps({
+            "metric": "denoised_points_per_sec_chip",
+            "value": None,
+            "unit": "points/s",
+            "vs_baseline": None,
+            "error": f"TPU unavailable after retries: {last_err}",
+        }))
+        return
     cpu_pps = _cpu_baseline_pps()
     vs = pps / (10.0 * cpu_pps) if cpu_pps == cpu_pps else None
     print(json.dumps({
