@@ -17,18 +17,32 @@ Re-implements the reference benchmark tooling on device:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .losses.chamfer import chamfer_distance, nearest_distances
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _cd_jit(a: jnp.ndarray, b: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    return chamfer_distance(a[None], b[None], batch_reduction="mean",
+                            chunk=chunk)
+
+
 def _cd(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> float:
-    val = chamfer_distance(jnp.asarray(a[None]), jnp.asarray(b[None]),
-                           batch_reduction="mean", chunk=chunk)
-    return float(val)
+    # jit is load-bearing: eagerly, the (chunk, N, 3) difference tensor of
+    # every tile is materialized op-by-op (~1 GB per op at 20k points);
+    # under jit XLA fuses the subtract-square-reduce into the min.
+    return float(_cd_jit(jnp.asarray(a), jnp.asarray(b), chunk))
+
+
+@jax.jit
+def _nnd_jit(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    return nearest_distances(x[None], c[None])
 
 
 def chamfer_ratio_table(clean: Sequence[np.ndarray],
@@ -69,8 +83,7 @@ def performance_table(clean: Sequence[np.ndarray],
         f"shape_{i}" for i in range(len(clean))]
     table: Dict[str, Dict[str, float]] = {}
     for name, c, x in zip(names, clean, clouds):
-        d2 = np.asarray(nearest_distances(jnp.asarray(x[None]),
-                                          jnp.asarray(c[None])))[0]
+        d2 = np.asarray(_nnd_jit(jnp.asarray(x), jnp.asarray(c)))[0]
         d = np.sqrt(np.maximum(d2, 0.0))
         table[name] = {
             "noise_ratio": float(d.mean()),

@@ -24,8 +24,15 @@ def main():
     p.add_argument("--in_dir", type=str, required=True,
                    help="directory holding noisy/ denoised/ clean/ trees")
     p.add_argument("--out_dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default="cpu",
+                   help="JAX platform for the CD computation (offline "
+                        "tables default to cpu so they never wait on the "
+                        "TPU tunnel)")
     args = p.parse_args()
     out_dir = args.out_dir or args.in_dir
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     names, clean, noisy, denoised = [], [], [], []
     for f in sorted(glob.glob(os.path.join(args.in_dir, "clean", "*.ply"))):

@@ -20,7 +20,13 @@ def main():
     p.add_argument("--which", type=str, default="denoised",
                    choices=["denoised", "noisy"])
     p.add_argument("--threshold", type=float, default=0.05)
+    p.add_argument("--platform", type=str, default="cpu",
+                   help="JAX platform (offline tables default to cpu so "
+                        "they never wait on the TPU tunnel)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     names, clean, clouds = [], [], []
     for f in sorted(glob.glob(os.path.join(args.in_dir, "clean", "*.ply"))):
