@@ -1,0 +1,69 @@
+"""Checkpoint round-trip: the FULL train state (params, batch stats,
+optimizer moments, step) must survive save/load — the reference drops
+optimizer/scheduler state on resume (train_dist.py:270-271); we must not."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep3dpointclouddenoising_tpu.train import Trainer
+from deep3dpointclouddenoising_tpu.models.build import build_offset_regression
+from deep3dpointclouddenoising_tpu.utils.checkpoint import (
+    latest_epoch_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+from test_model import tiny_batch, tiny_config
+
+
+@pytest.fixture
+def trained_state(rng):
+    cfg = tiny_config()
+    cfg.batch_size = 8  # conftest forces 8 virtual devices; batch shards
+    cfg.optimizer = "adam"
+    model, loss_fn = build_offset_regression(cfg)
+    trainer = Trainer(cfg, model, loss_fn, n_iter_per_epoch=4)
+    xyz, mask, feats = tiny_batch(rng, B=8)
+    batch = {"points": np.asarray(xyz), "mask": np.asarray(mask),
+             "features": np.asarray(feats),
+             "offsets": np.zeros((8, 64, 3), np.float32)}
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(key, batch)
+    for _ in range(3):  # a few steps so adam moments are nonzero
+        state, _ = trainer.train_step(state, batch, key)
+    return trainer, state, batch, key
+
+
+def _assert_tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_roundtrip_full_state(trained_state, tmp_path):
+    trainer, state, batch, key = trained_state
+    save_checkpoint(str(tmp_path), epoch=3, state=state, save_freq=0)
+    restored = load_checkpoint(str(tmp_path / "current"), state)
+    _assert_tree_equal(jax.device_get(state), restored)
+    assert int(restored.step) == int(state.step)
+
+    # resumed training continues identically to uninterrupted training
+    s1, l1 = trainer.train_step(state, batch, key)
+    s2, l2 = trainer.train_step(restored, batch, key)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    _assert_tree_equal(jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_latest_epoch_checkpoint(trained_state, tmp_path):
+    trainer, state, _, _ = trained_state
+    assert latest_epoch_checkpoint(str(tmp_path)) is None
+    save_checkpoint(str(tmp_path), epoch=10, state=state, save_freq=10)
+    save_checkpoint(str(tmp_path), epoch=20, state=state, save_freq=10)
+    latest = latest_epoch_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("ckpt_epoch_20")
+    # epoch not on save_freq -> only "current" updated, latest unchanged
+    save_checkpoint(str(tmp_path), epoch=21, state=state, save_freq=10)
+    assert latest_epoch_checkpoint(str(tmp_path)).endswith("ckpt_epoch_20")
