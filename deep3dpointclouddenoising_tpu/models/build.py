@@ -8,7 +8,7 @@ Builders return ``(module, loss_fn)`` like the reference returns
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -37,10 +37,19 @@ OUTLIER_DETECT_DIM = 1
 
 
 class PyramidModel(nn.Module):
-    """Base: pyramid -> ResNet encoder -> head."""
+    """Base: pyramid -> ResNet encoder -> head.
+
+    ``pyramid_hook`` (optional) post-processes the freshly built geometry
+    pyramid before the network consumes it — the injection point used by
+    ``parallel.spatial`` to pin GSPMD sharding constraints on every
+    per-point axis (sequence/context parallelism over one giant cloud).
+    It must be parameter-free, so checkpoints trained without a hook load
+    unchanged.
+    """
     cfg: Config
     head_kind: str = "offset_reg_head"
     num_out: int = OFFSET_REG_DIM
+    pyramid_hook: Optional[Callable[[Pyramid], Pyramid]] = None
 
     def _check_backbone(self):
         if self.cfg.backbone != "resnet":
@@ -49,12 +58,15 @@ class PyramidModel(nn.Module):
 
     def make_pyramid(self, xyz: jnp.ndarray, mask: jnp.ndarray) -> Pyramid:
         cfg = self.cfg
-        return build_pyramid(
+        pyramid = build_pyramid(
             xyz, mask, radius=float(cfg.radius), sample_dl=float(cfg.sampleDl),
             nsamples=list(cfg.nsamples), npoints=list(cfg.npoints),
             build_self=int(cfg.depth) > 1,
             build_up=self.head_kind in
             ("offset_reg_head", "resnet_scene_seg", "resnet_part_seg"))
+        if self.pyramid_hook is not None:
+            pyramid = self.pyramid_hook(pyramid)
+        return pyramid
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, mask: jnp.ndarray,

@@ -1,0 +1,135 @@
+"""Spatial (sequence/context) parallelism: one giant cloud sharded over its
+POINT axis across the device mesh.
+
+The reference never holds more than ``num_points`` (500-15000) points on a
+device at once — full 140k-point clouds go through the overlapping-patch
+voting pipeline (/root/reference/u_net_arch/qualitative_inference_test.py:
+282-344), i.e. its "long sequences" are handled by decomposition, never by
+sharding.  TPU-native stretch (SURVEY.md §5): treat the point axis like a
+sequence axis and shard it over the mesh, so ONE U-Net forward denoises an
+entire cloud with memory and compute split across chips.
+
+Design — the annotate-and-let-XLA-partition recipe rather than hand-written
+halo exchange:
+
+* inputs ``points/mask/features`` enter jit sharded ``P(None, 'data')`` on
+  axis 1 (the point axis);
+* a ``pyramid_hook`` pins a ``with_sharding_constraint`` on every per-point
+  axis of the geometry pyramid (each level's xyz/mask, every neighborhood's
+  query axis, the decoder's upsample indices), so the whole network —
+  neighbor queries, KPConv aggregation, 1x1 convs, decoder — computes on
+  local query shards;
+* neighbor gathers index into the *full* support set, so GSPMD inserts the
+  all-gathers of support positions/features over ICI exactly where the
+  reference's CUDA kernels read global GPU memory.  Per level that is one
+  ``(N_i, C)`` all-gather — at 140k points x 72 channels x f32 ~ 40 MB,
+  well under ICI budgets — while the O(N*K*C*P) aggregation FLOPs and the
+  O(N * N_i) distance tiles stay sharded.
+
+The spatial path forces ``use_pallas=False``: the pure-XLA aggregation is
+partitionable by GSPMD, while a ``pallas_call`` would be an opaque unit XLA
+must replicate or gather around.  (A shard_map-per-device Pallas variant is
+the natural next optimization; the numerics here are identical either way.)
+
+Sharded and unsharded forwards are bit-comparable because every op is a
+static-shape gather/matmul — ``tests/test_spatial.py`` pins equality on an
+8-device CPU mesh.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.pyramid import Level, Neighborhood, Pyramid, Transition
+from .mesh import DATA_AXIS
+
+
+def _c(x: jnp.ndarray, mesh: Mesh, spec: P) -> jnp.ndarray:
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def point_sharded_pyramid(mesh: Mesh, axis: str = DATA_AXIS
+                          ) -> Callable[[Pyramid], Pyramid]:
+    """A ``pyramid_hook`` that shards every per-point axis over ``axis``.
+
+    Every array in the pyramid has the point (query) axis at position 1:
+    level xyz ``(B, N_i, 3)`` / mask ``(B, N_i)``, neighborhood idx/mask
+    ``(B, M, K)`` and rel_xyz ``(B, M, K, 3)``, upsample idx/mask
+    ``(B, N_fine)``.
+    """
+    def nbr_hook(nb: Optional[Neighborhood]) -> Optional[Neighborhood]:
+        if nb is None:
+            return None
+        return Neighborhood(
+            idx=_c(nb.idx, mesh, P(None, axis, None)),
+            mask=_c(nb.mask, mesh, P(None, axis, None)),
+            rel_xyz=_c(nb.rel_xyz, mesh, P(None, axis, None, None)),
+            radius=nb.radius)
+
+    def hook(pyr: Pyramid) -> Pyramid:
+        levels = tuple(
+            Level(xyz=_c(lv.xyz, mesh, P(None, axis, None)),
+                  mask=_c(lv.mask, mesh, P(None, axis)),
+                  self_nbr=nbr_hook(lv.self_nbr))
+            for lv in pyr.levels)
+        transitions = tuple(
+            Transition(pool_nbr=nbr_hook(tr.pool_nbr),
+                       up_idx=_c(tr.up_idx, mesh, P(None, axis)),
+                       up_mask=_c(tr.up_mask, mesh, P(None, axis)))
+            for tr in pyr.transitions)
+        return Pyramid(levels=levels, transitions=transitions)
+
+    return hook
+
+
+def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression"):
+    """Build a task model whose geometry pyramid carries point-axis sharding
+    constraints.  Parameters are identical to the unhooked model — a
+    checkpoint trained patch-wise loads directly into the spatial forward.
+
+    kind: 'offset_regression' | 'complete_denoising' | 'scene_segmentation'.
+    """
+    from ..models.build import (
+        CompleteDenoisingModel,
+        OffsetRegressionModel,
+        SceneSegmentationModel,
+    )
+    cls = {
+        "offset_regression": OffsetRegressionModel,
+        "complete_denoising": CompleteDenoisingModel,
+        "scene_segmentation": SceneSegmentationModel,
+    }[kind]
+    cfg = copy.deepcopy(cfg)
+    cfg.use_pallas = False  # GSPMD-partitionable XLA path (see module doc)
+    return cls(cfg=cfg, pyramid_hook=point_sharded_pyramid(mesh))
+
+
+def build_spatial_forward(cfg, mesh: Mesh, kind: str = "offset_regression",
+                          axis: str = DATA_AXIS):
+    """(model, jitted_forward): full-cloud inference with the point axis
+    sharded over the mesh.
+
+    ``jitted_forward(variables, points, mask, features) -> (B, N, out)``;
+    inputs may live on host — they are placed with the point axis sharded.
+    The output stays point-sharded so a caller can chain further sharded
+    stages (e.g. the voting accumulator) before any host transfer.
+    """
+    model = build_spatial_model(cfg, mesh, kind)
+    pts_sh = NamedSharding(mesh, P(None, axis, None))
+    msk_sh = NamedSharding(mesh, P(None, axis))
+
+    @jax.jit
+    def _fwd(variables, points, mask, features):
+        return model.apply(variables, points, mask, features, train=False)
+
+    def forward(variables, points, mask, features):
+        points = jax.device_put(jnp.asarray(points), pts_sh)
+        mask = jax.device_put(jnp.asarray(mask), msk_sh)
+        features = jax.device_put(jnp.asarray(features), pts_sh)
+        return _fwd(variables, points, mask, features)
+
+    return model, forward

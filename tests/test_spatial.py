@@ -1,0 +1,91 @@
+"""Spatial (sequence/context) parallelism tests: a full-cloud forward with
+the point axis sharded over the 8-device CPU mesh must match the unsharded
+forward bit-for-bit-ish, load patch-trained parameters unchanged, and keep
+the output sharded on the point axis (SURVEY.md §5 stretch goal)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep3dpointclouddenoising_tpu.config import default_config
+from deep3dpointclouddenoising_tpu.models import build_offset_regression
+from deep3dpointclouddenoising_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from deep3dpointclouddenoising_tpu.parallel.spatial import (
+    build_spatial_forward,
+    build_spatial_model,
+)
+
+
+def giant_cloud_cfg():
+    cfg = default_config()
+    cfg.num_points = 256          # the "giant cloud" at test scale
+    cfg.width = 16
+    cfg.depth = 2
+    cfg.radius = 0.2
+    cfg.sampleDl = 0.05
+    cfg.nsamples = [8, 8, 8, 8, 8]
+    cfg.npoints = [64, 32, 16, 8]
+    cfg.local_aggregation_type = "pseudo_grid"
+    cfg.head = "offset_reg_head"
+    cfg.loss = "L1"
+    cfg.use_pallas = False
+    return cfg
+
+
+def make_cloud(rng, B=1, N=256):
+    xyz = (rng.random((B, N, 3), dtype=np.float32) * 2 - 1)
+    mask = np.ones((B, N), np.float32)
+    mask[:, -7:] = 0.0  # ragged tail: padding points
+    return xyz, mask
+
+
+def test_spatial_forward_matches_unsharded(rng):
+    assert len(jax.devices()) >= 8
+    cfg = giant_cloud_cfg()
+    xyz, mask = make_cloud(rng)
+
+    # parameters come from the ordinary (patch-trained) model
+    model, _ = build_offset_regression(cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    want = np.asarray(model.apply(variables, xyz, mask, xyz, train=False))
+
+    mesh = make_mesh(8)
+    _, fwd = build_spatial_forward(cfg, mesh)
+    got = fwd(variables, xyz, mask, xyz)
+
+    # output stays sharded on the point axis
+    spec = got.sharding.spec
+    assert DATA_AXIS in tuple(spec), spec
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-6)
+
+
+def test_spatial_model_params_identical_tree(rng):
+    """The hooked model must expose the exact parameter tree of the plain
+    model (checkpoint compatibility)."""
+    cfg = giant_cloud_cfg()
+    xyz, mask = make_cloud(rng)
+    plain, _ = build_offset_regression(cfg)
+    spatial = build_spatial_model(cfg, make_mesh(8))
+    v_plain = plain.init(jax.random.PRNGKey(0), xyz, mask, xyz, train=False)
+    v_spatial = spatial.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                             train=False)
+    paths_p = {jax.tree_util.keystr(k): v.shape for k, v in
+               jax.tree_util.tree_leaves_with_path(v_plain["params"])}
+    paths_s = {jax.tree_util.keystr(k): v.shape for k, v in
+               jax.tree_util.tree_leaves_with_path(v_spatial["params"])}
+    assert paths_p == paths_s
+
+
+def test_spatial_forward_uneven_shards(rng):
+    """Point counts that do not divide the mesh (GSPMD pads internally)."""
+    cfg = giant_cloud_cfg()
+    cfg.num_points = 200          # 200 / 8 = 25 -> fine; npoints uneven:
+    cfg.npoints = [50, 22, 10, 3]
+    xyz, mask = make_cloud(rng, N=200)
+    model, _ = build_offset_regression(cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    want = np.asarray(model.apply(variables, xyz, mask, xyz, train=False))
+    _, fwd = build_spatial_forward(cfg, make_mesh(8))
+    got = np.asarray(fwd(variables, xyz, mask, xyz))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
