@@ -133,6 +133,58 @@ def denoise_clouds_pcn(predict_fn, dataset: OffsetDataset,
     return results
 
 
+def denoise_clouds_spatial(variables, cfg, dataset: OffsetDataset,
+                           mesh=None, size_bucket: int = 2048,
+                           ) -> List[Dict[str, np.ndarray]]:
+    """Full-cloud denoising in ONE spatially-sharded forward per cloud.
+
+    Instead of covering the shape with overlapping patches and vote-averaging
+    (the reference's only full-shape mode,
+    qualitative_inference_test.py:282-344), the whole cloud goes through the
+    U-Net at once with its point axis sharded over the device mesh
+    (``parallel.spatial``).  The learned geometry (``radius``, ``sampleDl``,
+    ``nsamples``) is kept at its trained patch scale; only the subsample
+    capacities (``npoints``) grow with the cloud, following the reference's
+    num_points/4/16/32/128 schedule (train_dist.py:133-137).
+
+    Note this is a different estimator than patch voting: each point gets
+    one prediction from full-shape context instead of an average over
+    overlapping patch predictions.  Cloud sizes are bucketed to multiples of
+    ``size_bucket`` to bound recompiles.
+    """
+    import copy as _copy
+
+    from .parallel.mesh import make_mesh
+    from .parallel.spatial import build_spatial_forward
+
+    mesh = mesh if mesh is not None else make_mesh()
+    fwd_cache: Dict[int, object] = {}
+    results = []
+    for shape in dataset.shapes:
+        n = len(shape.points)
+        n_pad = -(-n // size_bucket) * size_bucket
+        if n_pad not in fwd_cache:
+            cfg2 = _copy.deepcopy(cfg)
+            cfg2.num_points = n_pad
+            cfg2.npoints = [max(n_pad // 4, 1), max(n_pad // 16, 1),
+                            max(n_pad // 32, 1), max(n_pad // 128, 1)]
+            _, fwd_cache[n_pad] = build_spatial_forward(cfg2, mesh)
+        fwd = fwd_cache[n_pad]
+        pts = np.zeros((1, n_pad, 3), np.float32)
+        pts[0, :n] = shape.points
+        mask = np.zeros((1, n_pad), np.float32)
+        mask[0, :n] = 1.0
+        pred = np.asarray(fwd(variables, pts, mask, pts.copy()))[0, :n]
+        results.append({
+            "noisy": shape.points,
+            "offsets": pred,
+            "denoised": shape.points + pred,
+            "labels": shape.labels,
+            "gt_offsets": shape.offsets,
+        })
+    return results
+
+
 def make_predict_fn(model, variables, raw: bool = False):
     """Jitted full-batch predictor over the flax model."""
 

@@ -20,7 +20,7 @@ from deep3dpointclouddenoising_tpu.config import load_config
 from deep3dpointclouddenoising_tpu.data.meshio import write_ply
 from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
 from deep3dpointclouddenoising_tpu.infer import (
-    clean_clouds, denoise_clouds, make_predict_fn)
+    clean_clouds, denoise_clouds, denoise_clouds_spatial, make_predict_fn)
 from deep3dpointclouddenoising_tpu.models import (
     build_complete_denoising, build_offset_regression)
 from deep3dpointclouddenoising_tpu.utils.checkpoint import load_checkpoint
@@ -33,6 +33,10 @@ def main():
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="inference_out")
     p.add_argument("--full_cleaning", action="store_true")
+    p.add_argument("--spatial", action="store_true",
+                   help="denoise each full cloud in one forward with the "
+                        "point axis sharded over the device mesh "
+                        "(parallel.spatial) instead of patch voting")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args()
 
@@ -61,8 +65,13 @@ def main():
                  "batch_stats": state["batch_stats"]}
     predict = make_predict_fn(model, variables)
 
-    fn = clean_clouds if args.full_cleaning else denoise_clouds
-    results = fn(predict, dataset, batch_size=cfg.batch_size)
+    if args.spatial:
+        if args.full_cleaning:
+            p.error("--spatial supports offset regression only")
+        results = denoise_clouds_spatial(variables, cfg, dataset)
+    else:
+        fn = clean_clouds if args.full_cleaning else denoise_clouds
+        results = fn(predict, dataset, batch_size=cfg.batch_size)
 
     for sub in ("noisy", "denoised", "clean"):
         os.makedirs(os.path.join(args.out_dir, sub), exist_ok=True)

@@ -76,6 +76,35 @@ def test_spatial_model_params_identical_tree(rng):
     assert paths_p == paths_s
 
 
+def test_denoise_clouds_spatial(rng, tmp_path):
+    """End-to-end full-cloud spatial denoising over a tiny synthetic shape."""
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import \
+        OffsetDataset
+    from deep3dpointclouddenoising_tpu.data.synthetic import make_icosphere
+    from deep3dpointclouddenoising_tpu.infer import denoise_clouds_spatial
+
+    ds = OffsetDataset(
+        str(tmp_path), "qualitative_test", in_radius=0.4, num_points=64,
+        num_steps=1, num_epochs=1, noise_type="gaussian", noise_level=5e-3,
+        num_points_per_shape=300, outlier_proportion=0.0, seed=0,
+        sample_dl_patches=0.3,
+        shapes={"qualitative_test/sphere": make_icosphere(2)})
+
+    cfg = giant_cloud_cfg()
+    model, _ = build_offset_regression(cfg)
+    xyz, mask = make_cloud(rng)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    res = denoise_clouds_spatial(variables, cfg, ds, mesh=make_mesh(8),
+                                 size_bucket=128)
+    assert len(res) == 1
+    assert res[0]["denoised"].shape == (300, 3)
+    assert np.all(np.isfinite(res[0]["denoised"]))
+    # padding must not leak: offsets for real points depend only on the cloud
+    np.testing.assert_allclose(
+        res[0]["denoised"], res[0]["noisy"] + res[0]["offsets"])
+
+
 def test_spatial_forward_uneven_shards(rng):
     """Point counts that do not divide the mesh (GSPMD pads internally)."""
     cfg = giant_cloud_cfg()
