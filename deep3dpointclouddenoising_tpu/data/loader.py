@@ -65,3 +65,24 @@ class BatchLoader:
 
     def __iter__(self):
         return self.epoch_iter(getattr(self.dataset, "epoch", 0))
+
+
+def device_prefetch(iterator, sharding=None, size: int = 2):
+    """Overlap host->device copies with device compute (the TPU analogue of
+    torch's pin_memory + non_blocking copies, train_dist.py:257,317-320).
+
+    Eagerly ``device_put``s up to ``size`` upcoming batches (JAX transfers
+    are async, so this just keeps the copy engine ahead of the compute
+    stream) and yields them in order.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(jax.device_put(item, sharding))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

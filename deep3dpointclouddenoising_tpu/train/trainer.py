@@ -81,23 +81,30 @@ class Trainer:
 
     def __init__(self, cfg: Config, model, loss_fn: Callable,
                  n_iter_per_epoch: int, mesh=None,
-                 loss_mode: str = "offset"):
+                 loss_mode: str = "offset", spatial: bool = False):
         """loss_mode selects the loss call signature:
         'offset'        loss(pred, offsets, mask, points)   (train_dist.py)
         'full_cleaning' loss(pred, offsets, labels, mask)
                         (train_offset_outliers.py:298-325)
         'segmentation'  loss(logits, labels, mask)          (scene seg)
+
+        ``spatial=True`` shards the POINT axis (axis 1) of the batch over
+        the mesh instead of the batch axis — sequence/context-parallel
+        training on giant clouds (pair with a model built by
+        ``parallel.spatial.build_spatial_model`` so the geometry pyramid
+        carries the matching sharding constraints).
         """
         self.cfg = cfg
         self.model = model
         self.loss_fn = loss_fn
         self.loss_mode = loss_mode
         self.mesh = mesh if mesh is not None else make_mesh()
-        world = self.mesh.devices.size
+        world = 1 if spatial else self.mesh.devices.size
         self.tx, self.lr_schedule = make_optimizer(cfg, n_iter_per_epoch,
                                                    world_size=world)
         self._repl = NamedSharding(self.mesh, P())
-        self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._batch_sh = NamedSharding(
+            self.mesh, P(None, DATA_AXIS) if spatial else P(DATA_AXIS))
         self._jit_train = jax.jit(
             self._train_step,
             in_shardings=(self._repl, self._make_batch_shardings(), None),
@@ -169,6 +176,12 @@ class Trainer:
         return self._compute_loss(pred, batch)
 
     # -- public -------------------------------------------------------------
+    @property
+    def batch_sharding(self):
+        """The NamedSharding train/eval batches are placed with (leading axis
+        over the data mesh axis; point axis instead when spatial=True)."""
+        return self._batch_sh
+
     def train_step(self, state, batch, rng):
         batch = jax.device_put(batch, self._batch_sh)
         return self._jit_train(state, batch, rng)

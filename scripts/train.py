@@ -23,7 +23,8 @@ import jax
 import numpy as np
 
 from deep3dpointclouddenoising_tpu.config import load_config
-from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+from deep3dpointclouddenoising_tpu.data.loader import BatchLoader, \
+    device_prefetch
 from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
 from deep3dpointclouddenoising_tpu.data.transforms import \
     build_train_transforms
@@ -122,11 +123,17 @@ def main():
         trace_dir = args.profile_dir if (args.profile_dir
                                          and epoch == int(cfg.start_epoch)) \
             else None
-        with device_trace(trace_dir):
-            for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+        def _normed(it_):
+            for b in it_:
                 if cfg.norm:  # train_dist.py:322-326
                     for k in ("points", "offsets", "features"):
-                        batch[k] = batch[k] / norm_factor
+                        b[k] = b[k] / norm_factor
+                yield b
+
+        with device_trace(trace_dir):
+            batches = device_prefetch(_normed(train_loader.epoch_iter(
+                epoch - 1)), trainer.batch_sharding)
+            for it, batch in enumerate(batches):
                 timer.host()
                 step_rng = jax.random.fold_in(rng, int(state.step))
                 state, loss = trainer.train_step(state, batch, step_rng)

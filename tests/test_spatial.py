@@ -105,6 +105,47 @@ def test_denoise_clouds_spatial(rng, tmp_path):
         res[0]["denoised"], res[0]["noisy"] + res[0]["offsets"])
 
 
+def test_spatial_training_matches_single_device(rng):
+    """Sequence-parallel TRAINING: a point-sharded train step on 8 devices
+    must track the unsharded step (BatchNorm point-axis stats and the masked
+    loss keep global semantics under GSPMD)."""
+    from deep3dpointclouddenoising_tpu.train import Trainer
+
+    cfg = giant_cloud_cfg()
+    cfg.optimizer = "adam"
+    cfg.base_learning_rate = 1e-3
+    cfg.lr_scheduler = "step"
+    cfg.warmup_epoch = -1
+    cfg.epochs = 10
+    cfg.batch_size = 2
+    cfg.weight_decay = 0.0
+
+    xyz, mask = make_cloud(rng, B=2)
+    offs = rng.normal(size=xyz.shape).astype(np.float32) * 0.02
+    batch = {"points": xyz, "mask": mask, "features": xyz.copy(),
+             "offsets": offs}
+
+    plain, loss_fn = build_offset_regression(cfg)
+    spatial = build_spatial_model(cfg, make_mesh(8))
+    key = jax.random.PRNGKey(0)
+
+    t1 = Trainer(cfg, plain, loss_fn, 10, mesh=make_mesh(1))
+    t8 = Trainer(cfg, spatial, loss_fn, 10, mesh=make_mesh(8), spatial=True)
+    s1 = t1.init_state(key, batch)
+    s8 = t8.init_state(key, batch)
+
+    for i in range(3):
+        r = jax.random.PRNGKey(100 + i)
+        s1, l1 = t1.train_step(s1, batch, r)
+        s8, l8 = t8.train_step(s8, batch, r)
+        np.testing.assert_allclose(float(l1), float(l8), rtol=2e-3)
+    lr = float(cfg.base_learning_rate)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=6.0 * lr)
+
+
 def test_spatial_forward_uneven_shards(rng):
     """Point counts that do not divide the mesh (GSPMD pads internally)."""
     cfg = giant_cloud_cfg()
