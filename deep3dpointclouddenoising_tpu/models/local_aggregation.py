@@ -29,12 +29,23 @@ from .layers import BNReLU, ConvBN, compute_dtype
 from .pyramid import Neighborhood
 
 
-def _pallas_mode(cfg: Config):
-    """Resolve cfg.use_pallas: returns (use_fused, interpret)."""
+_FUSE_MIN_WORK = 1_000_000  # M*K*C below which XLA beats the fused kernel
+
+
+def _pallas_mode(cfg: Config, work: int = _FUSE_MIN_WORK):
+    """Resolve cfg.use_pallas: returns (use_fused, interpret).
+
+    'auto' uses the fused Pallas kernel only on TPU AND only when the
+    layer's M*K*C work is large enough to amortize the kernel's fixed cost:
+    measured on v5e (flagship l1 geometry, batch 16), Pallas wins at the
+    500-point stem (~3.0 vs ~4.8 ms) but loses at every deeper level
+    (N<=125: ~1.5 vs ~0.5 ms) where grid/launch overheads dominate the
+    tiny contractions XLA simply fuses into neighbors.
+    """
     flag = getattr(cfg, "use_pallas", "auto")
     on_cpu = jax.default_backend() == "cpu"
     if flag == "auto":
-        return (not on_cpu), False
+        return (not on_cpu) and work >= _FUSE_MIN_WORK, False
     return bool(flag), on_cpu
 
 
@@ -99,7 +110,8 @@ class PseudoGrid(nn.Module):
             nn.initializers.truncated_normal(stddev=np.sqrt(2.0 / c)),
             (int(pg.num_kernel_points), c))
 
-        use_fused, interpret = _pallas_mode(self.cfg)
+        work = int(nbr.idx.shape[1]) * int(nbr.idx.shape[2]) * c
+        use_fused, interpret = _pallas_mode(self.cfg, work)
         dt = compute_dtype(self.cfg)
         if use_fused:
             # fused Pallas kernel: influence weights + both contractions

@@ -47,6 +47,18 @@ def test_sample_surface_on_sphere(rng):
     assert even.shape == (500, 3)
 
 
+def test_new_synthetic_shapes_are_surfaces(rng):
+    from deep3dpointclouddenoising_tpu.data.synthetic import (
+        make_box, make_cylinder, make_ellipsoid)
+    for mesh in (make_box(4), make_cylinder(16, 6, n_cap=3),
+                 make_ellipsoid(2)):
+        assert mesh.faces.min() >= 0
+        assert mesh.faces.max() < len(mesh.vertices)
+        pts, _ = sample_surface_even(mesh, 200, rng)
+        _, d = closest_point_on_mesh(mesh, pts)
+        assert np.abs(d).max() < 1e-9  # samples lie on the surface
+
+
 def test_closest_point_matches_bruteforce(rng):
     mesh = make_torus(n_major=16, n_minor=10)
     queries = rng.normal(size=(40, 3)) * 1.5
