@@ -138,3 +138,23 @@ def test_fused_gradients_tile_boundary(rng):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_mode_work_gating():
+    """'auto' dispatch: fused kernel only on TPU and only when the layer's
+    M*K*C work amortizes the kernel's fixed cost; explicit 0/1 overrides."""
+    from deep3dpointclouddenoising_tpu.config import default_config
+    from deep3dpointclouddenoising_tpu.models.local_aggregation import (
+        _FUSE_MIN_WORK, _pallas_mode)
+
+    cfg = default_config()
+    assert getattr(cfg, "use_pallas", "auto") == "auto"
+    # on the CPU test backend, auto is always off
+    assert _pallas_mode(cfg, _FUSE_MIN_WORK * 2)[0] is False
+    assert _pallas_mode(cfg, _FUSE_MIN_WORK // 2)[0] is False
+    # explicit override forces the fused path (interpret mode on CPU)
+    cfg.use_pallas = 1
+    use, interpret = _pallas_mode(cfg, 1)
+    assert use and interpret
+    cfg.use_pallas = 0
+    assert _pallas_mode(cfg, 10**9)[0] is False
