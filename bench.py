@@ -26,6 +26,9 @@ ITERS = 10
 def measure_forward_pps(iters: int = ITERS, batch: int = BATCH,
                         platform: str | None = None) -> float:
     import jax
+    from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     if platform:
         # env-var JAX_PLATFORMS is ignored here: the container's
         # sitecustomize force-sets jax_platforms after reading env vars, so

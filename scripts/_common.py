@@ -45,10 +45,13 @@ def setup(args):
     import jax
 
     from deep3dpointclouddenoising_tpu.config import load_config
+    from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+        enable_persistent_cache
     from deep3dpointclouddenoising_tpu.utils.logger import setup_logger
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    enable_persistent_cache()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k in OVERRIDE_KEYS}
     cfg = load_config(args.config_file, overrides)

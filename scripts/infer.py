@@ -24,6 +24,10 @@ from deep3dpointclouddenoising_tpu.infer import (
 from deep3dpointclouddenoising_tpu.models import (
     build_complete_denoising, build_offset_regression)
 from deep3dpointclouddenoising_tpu.utils.checkpoint import load_checkpoint
+from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+    enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def main():

@@ -32,6 +32,8 @@ from deep3dpointclouddenoising_tpu.models import build_offset_regression
 from deep3dpointclouddenoising_tpu.train import Trainer
 from deep3dpointclouddenoising_tpu.utils.checkpoint import (
     load_checkpoint, save_checkpoint)
+from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+    enable_persistent_cache
 from deep3dpointclouddenoising_tpu.utils.logger import (
     MetricsWriter, setup_logger)
 from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
@@ -69,6 +71,7 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    enable_persistent_cache()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k in
                  ("batch_size", "num_points", "num_steps", "epochs",
