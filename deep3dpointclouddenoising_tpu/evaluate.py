@@ -24,25 +24,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .losses.chamfer import chamfer_distance, nearest_distances
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _cd_jit(a: jnp.ndarray, b: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    return chamfer_distance(a[None], b[None], batch_reduction="mean",
-                            chunk=chunk)
+def _nn_dists(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Euclidean distance from each x point to its nearest y point.
+
+    Host KD-tree, not the brute-force device kernel: the offline tables run
+    at full-cloud scale (140k x 140k pairs -> ~3e12 flops brute force,
+    ~30 min on CPU) where O(N log N) finishes in seconds.  The chunked
+    device path in losses/chamfer.py remains the in-training/loss
+    implementation.
+    """
+    from scipy.spatial import cKDTree
+
+    return cKDTree(np.asarray(y)).query(np.asarray(x), workers=-1)[0]
 
 
-def _cd(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> float:
-    # jit is load-bearing: eagerly, the (chunk, N, 3) difference tensor of
-    # every tile is materialized op-by-op (~1 GB per op at 20k points);
-    # under jit XLA fuses the subtract-square-reduce into the min.
-    return float(_cd_jit(jnp.asarray(a), jnp.asarray(b), chunk))
-
-
-@jax.jit
-def _nnd_jit(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    return nearest_distances(x[None], c[None])
+def _cd(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric L2 (squared) Chamfer distance, matching
+    losses/chamfer.py: chamfer_distance(norm_type='L2')."""
+    da = _nn_dists(a, b)
+    db = _nn_dists(b, a)
+    return float((da ** 2).mean() + (db ** 2).mean())
 
 
 def chamfer_ratio_table(clean: Sequence[np.ndarray],
@@ -83,8 +86,7 @@ def performance_table(clean: Sequence[np.ndarray],
         f"shape_{i}" for i in range(len(clean))]
     table: Dict[str, Dict[str, float]] = {}
     for name, c, x in zip(names, clean, clouds):
-        d2 = np.asarray(_nnd_jit(jnp.asarray(x), jnp.asarray(c)))[0]
-        d = np.sqrt(np.maximum(d2, 0.0))
+        d = _nn_dists(x, c)
         table[name] = {
             "noise_ratio": float(d.mean()),
             "outlier_ratio": float((d > outlier_threshold).mean()),
