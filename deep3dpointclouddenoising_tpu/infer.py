@@ -185,12 +185,29 @@ def denoise_clouds_spatial(variables, cfg, dataset: OffsetDataset,
     return results
 
 
-def make_predict_fn(model, variables, raw: bool = False):
-    """Jitted full-batch predictor over the flax model."""
+def make_predict_fn(model, variables, raw: bool = False,
+                    norm_factor: Optional[float] = None):
+    """Jitted full-batch predictor over the flax model.
+
+    ``norm_factor``: for checkpoints trained with ``cfg.norm`` (inputs and
+    targets divided by in_radius/100, reference train_dist.py:322-326) —
+    scales patch inputs down and predictions back up.  The reference's own
+    inference driver silently ignores config.norm (qualitative_inference_
+    test.py has no norm handling), so norm-trained reference checkpoints
+    denoise at the wrong scale; fixed here.
+    """
 
     @jax.jit
     def fwd(points, mask, features):
-        return model.apply(variables, points, mask, features, train=False)
+        if norm_factor:
+            points = points / norm_factor
+            features = features / norm_factor
+        out = model.apply(variables, points, mask, features, train=False)
+        if norm_factor:
+            # offsets live in the first 3 channels; a 4th full-cleaning
+            # channel is an outlierness logit and must not be scaled
+            out = out.at[..., :3].multiply(norm_factor)
+        return out
 
     def predict(batch):
         return fwd(jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]),

@@ -67,7 +67,8 @@ def main():
     state = load_checkpoint(args.checkpoint)
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
-    predict = make_predict_fn(model, variables)
+    norm_factor = float(cfg.in_radius) / 100.0 if cfg.norm else None
+    predict = make_predict_fn(model, variables, norm_factor=norm_factor)
 
     if args.spatial:
         if args.full_cleaning:

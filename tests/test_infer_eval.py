@@ -114,3 +114,43 @@ def test_masked_upsample_modes(rng):
     up_rbf = masked_upsample(feats, nbr, mode="rbf", nsample=4)
     assert up_rbf.shape == (1, 32, 6)
     assert np.all(np.isfinite(np.asarray(up_rbf)))
+
+
+def test_norm_predict_fn_scales_offsets_only():
+    """make_predict_fn(norm_factor=f) must equal f * model(x/f) on the
+    offset channels and leave a 4th (outlierness) channel unscaled."""
+    import jax
+    from deep3dpointclouddenoising_tpu.config import default_config
+    from deep3dpointclouddenoising_tpu.infer import make_predict_fn
+    from deep3dpointclouddenoising_tpu.models import (
+        build_complete_denoising)
+
+    cfg = default_config()
+    cfg.num_points = 32
+    cfg.width = 16
+    cfg.depth = 1
+    cfg.radius = 0.2
+    cfg.sampleDl = 0.1
+    cfg.nsamples = [4, 4, 4, 4, 4]
+    cfg.npoints = [8, 4, 2, 1]
+    cfg.local_aggregation_type = "pseudo_grid"
+    model, _ = build_complete_denoising(cfg)
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((2, 32, 3)).astype(np.float32) * 0.1
+    mask = np.ones((2, 32), np.float32)
+    batch = {"points": pts, "mask": mask, "features": pts.copy()}
+    variables = model.init(jax.random.PRNGKey(0), pts, mask, pts,
+                           train=False)
+
+    f = 0.0005
+    plain = make_predict_fn(model, variables)
+    normed = make_predict_fn(model, variables, norm_factor=f)
+    # normed on real-scale patches == f * plain on training-scale patches
+    train_scale = {"points": pts / f, "mask": mask, "features": pts / f}
+    want = np.asarray(plain(train_scale))
+    got = np.asarray(normed(batch))
+    np.testing.assert_allclose(got[..., :3], f * want[..., :3],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got[..., 3], want[..., 3],
+                               rtol=1e-4, atol=1e-5)
