@@ -263,6 +263,10 @@ def derive_geometry(cfg: Config, shape_diameter: Optional[float] = None) -> Conf
             dim += 1
     dim += abs(3 - dim % 3) % 3
     cfg.input_features_dim = dim if dim > 0 else 3
+    if cfg.fourier_features:
+        # input_mapping with 32 gaussian frequencies -> 64-dim sin/cos
+        # features (offset_dataset.py:28-33,727-729)
+        cfg.input_features_dim = 64
     return cfg
 
 

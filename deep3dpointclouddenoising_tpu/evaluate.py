@@ -17,7 +17,6 @@ Re-implements the reference benchmark tooling on device:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

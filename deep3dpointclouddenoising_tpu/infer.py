@@ -76,7 +76,8 @@ def denoise_clouds(predict_fn, dataset: OffsetDataset,
 
 
 def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
-                 outlier_threshold: float = 0.5
+                 outlier_threshold: float = 0.5,
+                 norm_factor: Optional[float] = None
                  ) -> List[Dict[str, np.ndarray]]:
     """Full-cleaning inference: tanh offsets + sigmoid outlierness; points
     predicted as outliers are removed, the rest are denoised
@@ -85,6 +86,11 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
     results = []
     for shape, pred in zip(dataset.shapes, raw):
         off = np.tanh(pred[:, :3])
+        if norm_factor:
+            # norm training fits tanh(raw) to offsets/f, so the physical
+            # offset is f*tanh(raw) — predict_fn must NOT pre-scale the
+            # logits (scale_outputs=False): tanh(f*raw) != f*tanh(raw)
+            off = off * norm_factor
         outlier_prob = 1.0 / (1.0 + np.exp(-pred[:, 3]))
         keep = outlier_prob < outlier_threshold
         denoised = (shape.points + off)[keep]
@@ -158,6 +164,11 @@ def denoise_clouds_spatial(variables, cfg, dataset: OffsetDataset,
     from .parallel.spatial import build_spatial_forward
 
     mesh = mesh if mesh is not None else make_mesh()
+    # norm-trained checkpoints: config radii are in scaled units (e.g.
+    # l1_only_5e3_norm.yaml radius 0.1 / in_radius 2.0), so scaling the
+    # cloud by 1/f reproduces the training-scale geometry exactly; scale
+    # predictions back by f.
+    f = float(cfg.in_radius) / 100.0 if getattr(cfg, "norm", 0) else None
     fwd_cache: Dict[int, object] = {}
     results = []
     for shape in dataset.shapes:
@@ -171,10 +182,12 @@ def denoise_clouds_spatial(variables, cfg, dataset: OffsetDataset,
             _, fwd_cache[n_pad] = build_spatial_forward(cfg2, mesh)
         fwd = fwd_cache[n_pad]
         pts = np.zeros((1, n_pad, 3), np.float32)
-        pts[0, :n] = shape.points
+        pts[0, :n] = shape.points / f if f else shape.points
         mask = np.zeros((1, n_pad), np.float32)
         mask[0, :n] = 1.0
         pred = np.asarray(fwd(variables, pts, mask, pts.copy()))[0, :n]
+        if f:
+            pred = pred * f
         results.append({
             "noisy": shape.points,
             "offsets": pred,
@@ -186,7 +199,8 @@ def denoise_clouds_spatial(variables, cfg, dataset: OffsetDataset,
 
 
 def make_predict_fn(model, variables, raw: bool = False,
-                    norm_factor: Optional[float] = None):
+                    norm_factor: Optional[float] = None,
+                    scale_outputs: bool = True):
     """Jitted full-batch predictor over the flax model.
 
     ``norm_factor``: for checkpoints trained with ``cfg.norm`` (inputs and
@@ -195,6 +209,11 @@ def make_predict_fn(model, variables, raw: bool = False,
     inference driver silently ignores config.norm (qualitative_inference_
     test.py has no norm handling), so norm-trained reference checkpoints
     denoise at the wrong scale; fixed here.
+
+    ``scale_outputs=False`` leaves outputs in training scale — required for
+    full-cleaning, where the offset channels pass through tanh downstream
+    (``clean_clouds(norm_factor=...)`` applies f*tanh(raw), which differs
+    from tanh(f*raw)).
     """
 
     @jax.jit
@@ -203,7 +222,7 @@ def make_predict_fn(model, variables, raw: bool = False,
             points = points / norm_factor
             features = features / norm_factor
         out = model.apply(variables, points, mask, features, train=False)
-        if norm_factor:
+        if norm_factor and scale_outputs:
             # offsets live in the first 3 channels; a 4th full-cleaning
             # channel is an outlierness logit and must not be scaled
             out = out.at[..., :3].multiply(norm_factor)

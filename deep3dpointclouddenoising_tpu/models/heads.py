@@ -79,9 +79,22 @@ class UNetDecoder(nn.Module):
 class MultiDimHead(nn.Module):
     """Per-point regression/classification head of dimension ``num_out``:
     offset regression (3), outlier logits (1/2), or full-cleaning (4)
-    (multi_dimensional_head.py:16-85)."""
+    (multi_dimensional_head.py:16-85).
+
+    Deliberate divergence from the reference (default kaiming init on the
+    last conv, multi_dimensional_head.py:53-55): for *regression* outputs
+    the final projection is near-zero-initialized so initial predictions
+    start at the zero-offset baseline instead of O(1) noise ~500x the
+    offset scale — with kaiming the optimizer burns thousands of steps just
+    shrinking the output scale and short runs plateau exactly at the
+    zero-predictor loss (RESULTS.md).  Non-zero stddev keeps gradients
+    flowing to every upstream layer from step 0.  Segmentation heads
+    (SceneSegHead) keep the reference's kaiming init via ``final_init``.
+    """
     num_out: int
     cfg: Config
+    final_init: nn.initializers.Initializer = nn.initializers.normal(
+        stddev=1e-4)
 
     @nn.compact
     def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
@@ -90,29 +103,25 @@ class MultiDimHead(nn.Module):
         x = UNetDecoder(self.cfg)(pyramid, feats, train)
         x = ConvBN(w // 2, self.cfg.bn_momentum,
                    dtype=compute_dtype(self.cfg))(x, train)
-        # Deliberate divergence from the reference (default kaiming init on
-        # the last conv, multi_dimensional_head.py:53-55): near-zero init on
-        # the final projection so initial predictions start at the
-        # zero-offset baseline instead of O(1) noise ~500x the offset scale
-        # — with kaiming the optimizer burns thousands of steps just
-        # shrinking the output scale and short runs plateau exactly at the
-        # zero-predictor loss. Non-zero stddev keeps gradients flowing to
-        # every upstream layer from step 0.
         x = nn.Dense(self.num_out, use_bias=True,
-                     kernel_init=nn.initializers.normal(stddev=1e-4))(x)
+                     kernel_init=self.final_init)(x)
         return x.astype(jnp.float32)  # (B, N, num_out)
 
 
 class SceneSegHead(nn.Module):
     """Per-point class logits (segmentation_head.py:15-77) — structurally the
-    same as MultiDimHead with num_out = num_classes."""
+    same as MultiDimHead with num_out = num_classes and the reference's
+    kaiming init on the logit layer (the near-zero-init divergence is
+    motivated only for regression outputs)."""
     num_classes: int
     cfg: Config
 
     @nn.compact
     def __call__(self, pyramid: Pyramid, feats: Sequence[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
-        return MultiDimHead(self.num_classes, self.cfg)(pyramid, feats, train)
+        return MultiDimHead(self.num_classes, self.cfg,
+                            final_init=nn.initializers.he_normal())(
+            pyramid, feats, train)
 
 
 class MultiPartSegHead(nn.Module):

@@ -29,18 +29,21 @@ from .layers import BNReLU, ConvBN, compute_dtype
 from .pyramid import Neighborhood
 
 
-_FUSE_MIN_WORK = 1_000_000  # M*K*C below which XLA beats the fused kernel
+# B*M*K*C below which XLA beats the fused kernel (calibrated on v5e at the
+# flagship geometry, batch 16: stem B16*M500*K52*C72 ~ 30M wins, the next
+# level B16*M125*K39*C144 ~ 11M loses)
+_FUSE_MIN_WORK = 16_000_000
 
 
 def _pallas_mode(cfg: Config, work: int = _FUSE_MIN_WORK):
     """Resolve cfg.use_pallas: returns (use_fused, interpret).
 
     'auto' uses the fused Pallas kernel only on TPU AND only when the
-    layer's M*K*C work is large enough to amortize the kernel's fixed cost:
-    measured on v5e (flagship l1 geometry, batch 16), Pallas wins at the
-    500-point stem (~3.0 vs ~4.8 ms) but loses at every deeper level
-    (N<=125: ~1.5 vs ~0.5 ms) where grid/launch overheads dominate the
-    tiny contractions XLA simply fuses into neighbors.
+    layer's total B*M*K*C work is large enough to amortize the kernel's
+    fixed cost: measured on v5e (flagship l1 geometry, batch 16), Pallas
+    wins at the 500-point stem (~3.0 vs ~4.8 ms) but loses at every deeper
+    level (N<=125: ~1.5 vs ~0.5 ms) where grid/launch overheads dominate
+    the tiny contractions XLA simply fuses into neighbors.
     """
     flag = getattr(cfg, "use_pallas", "auto")
     on_cpu = jax.default_backend() == "cpu"
@@ -110,7 +113,8 @@ class PseudoGrid(nn.Module):
             nn.initializers.truncated_normal(stddev=np.sqrt(2.0 / c)),
             (int(pg.num_kernel_points), c))
 
-        work = int(nbr.idx.shape[1]) * int(nbr.idx.shape[2]) * c
+        work = int(nbr.idx.shape[0]) * int(nbr.idx.shape[1]) \
+            * int(nbr.idx.shape[2]) * c
         use_fused, interpret = _pallas_mode(self.cfg, work)
         dt = compute_dtype(self.cfg)
         if use_fused:

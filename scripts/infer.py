@@ -55,6 +55,7 @@ def main():
         noise_type=cfg.noise_type, noise_level=cfg.noise_level,
         num_points_per_shape=cfg.num_points_per_shape,
         outlier_proportion=cfg.outlier_percentage,
+        fourier_features=bool(cfg.fourier_features),
         sample_dl_patches=cfg.sample_Dl_patches, seed=cfg.rng_seed)
 
     build = build_complete_denoising if args.full_cleaning \
@@ -68,15 +69,24 @@ def main():
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
     norm_factor = float(cfg.in_radius) / 100.0 if cfg.norm else None
-    predict = make_predict_fn(model, variables, norm_factor=norm_factor)
+    # full-cleaning applies tanh to the offset channels downstream, so the
+    # un-normalization happens there (f*tanh(raw)); offset regression
+    # rescales the raw outputs directly
+    predict = make_predict_fn(model, variables, norm_factor=norm_factor,
+                              scale_outputs=not args.full_cleaning)
 
     if args.spatial:
         if args.full_cleaning:
             p.error("--spatial supports offset regression only")
         results = denoise_clouds_spatial(variables, cfg, dataset)
     else:
-        fn = clean_clouds if args.full_cleaning else denoise_clouds
-        results = fn(predict, dataset, batch_size=cfg.batch_size)
+        if args.full_cleaning:
+            results = clean_clouds(predict, dataset,
+                                   batch_size=cfg.batch_size,
+                                   norm_factor=norm_factor)
+        else:
+            results = denoise_clouds(predict, dataset,
+                                     batch_size=cfg.batch_size)
 
     for sub in ("noisy", "denoised", "clean"):
         os.makedirs(os.path.join(args.out_dir, sub), exist_ok=True)

@@ -63,8 +63,8 @@ def report(trace_dir: str, top: int) -> None:
     """Print top ops by self time from the captured .xplane.pb."""
     from xprof.convert import raw_to_tool_data as rtd
 
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                      recursive=True)
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
     if not paths:
         print("no xplane captured (backend may not support profiling)")
         return

@@ -93,6 +93,7 @@ def main():
         noise_type=cfg.noise_type, noise_level=cfg.noise_level,
         num_points_per_shape=cfg.num_points_per_shape,
         outlier_proportion=cfg.outlier_percentage,
+        fourier_features=bool(cfg.fourier_features),
         debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
     train_ds = OffsetDataset(cfg.data_root, "train", num_steps=cfg.num_steps,
                              num_epochs=cfg.epochs, transforms=transforms,

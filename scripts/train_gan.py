@@ -47,6 +47,7 @@ def main():
         noise_level=cfg.noise_level,
         num_points_per_shape=cfg.num_points_per_shape,
         outlier_proportion=cfg.outlier_percentage, transforms=transforms,
+        fourier_features=bool(cfg.fourier_features),
         debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
     train_loader = BatchLoader(train_ds, cfg.batch_size, drop_last=True)
 

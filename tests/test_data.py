@@ -157,3 +157,29 @@ def test_angle_axis_orthonormal():
     R = angle_axis(0.7, np.array([0.0, 1.0, 0.0]))
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
     np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
+
+
+def test_fourier_features_wiring(tmp_path):
+    """cleaning_fourier-style configs: dataset emits 64-dim input_mapping
+    features, reproducible across dataset instances (same seed -> same
+    projection matrix B), and derive_geometry reports dim 64."""
+    from deep3dpointclouddenoising_tpu.config import load_config
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import (
+        OffsetDataset)
+    from deep3dpointclouddenoising_tpu.data.synthetic import make_icosphere
+
+    cfg = load_config("cfgs/cleaning_fourier.yaml")
+    assert int(cfg.input_features_dim) == 64
+
+    kw = dict(in_radius=0.4, num_points=64, num_steps=2, num_epochs=1,
+              noise_type="gaussian", noise_level=5e-3,
+              num_points_per_shape=1000, outlier_proportion=0.0,
+              fourier_features=True, seed=3,
+              shapes={"train/sphere": make_icosphere(2)})
+    a = OffsetDataset(str(tmp_path), "train", **kw)
+    b = OffsetDataset(str(tmp_path), "train", **kw)
+    fa = a.get(0)["features"]
+    assert fa.shape[-1] == 64
+    # the projection matrix must agree across instances (same seed), so a
+    # val/test/inference dataset maps features identically to training
+    np.testing.assert_allclose(a.fourier_B, b.fourier_B)

@@ -149,7 +149,7 @@ def test_pallas_mode_work_gating():
 
     cfg = default_config()
     assert getattr(cfg, "use_pallas", "auto") == "auto"
-    # on the CPU test backend, auto is always off
+    # on the CPU test backend, auto is always off (work is B*M*K*C)
     assert _pallas_mode(cfg, _FUSE_MIN_WORK * 2)[0] is False
     assert _pallas_mode(cfg, _FUSE_MIN_WORK // 2)[0] is False
     # explicit override forces the fused path (interpret mode on CPU)
