@@ -37,8 +37,7 @@ from deep3dpointclouddenoising_tpu.utils.compile_cache import \
 from deep3dpointclouddenoising_tpu.utils.logger import (
     MetricsWriter, setup_logger)
 from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
-from deep3dpointclouddenoising_tpu.utils.profiling import StepTimer,\
-    device_trace
+from deep3dpointclouddenoising_tpu.utils.profiling import device_trace
 
 
 def parse_args():
@@ -122,7 +121,6 @@ def main():
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter, batch_meter = AverageMeter(), AverageMeter()
-        timer = StepTimer()
         end = time.time()
         trace_dir = args.profile_dir if (args.profile_dir
                                          and epoch == int(cfg.start_epoch)) \
@@ -134,28 +132,37 @@ def main():
                         b[k] = b[k] / norm_factor
                 yield b
 
+        step_base = (epoch - 1) * len(train_loader)
+        pending = []  # un-synced device loss scalars
         with device_trace(trace_dir):
             batches = device_prefetch(_normed(train_loader.epoch_iter(
                 epoch - 1)), trainer.batch_sharding)
             for it, batch in enumerate(batches):
-                timer.host()
-                step_rng = jax.random.fold_in(rng, int(state.step))
+                # step counter tracked on host: reading state.step (and
+                # float(loss)) every iteration forces a device sync per
+                # step, serializing host batch prep with device compute
+                step_rng = jax.random.fold_in(rng, step_base + it)
                 state, loss = trainer.train_step(state, batch, step_rng)
-                timer.device(loss)
-                meter.update(float(loss), len(batch["points"]))
+                pending.append((loss, len(batch["points"])))
                 batch_meter.update(time.time() - end)
                 end = time.time()
                 if it % cfg.print_freq == 0:
+                    jax.block_until_ready(loss)  # periodic sync point
+                    for pl, n in pending:
+                        meter.update(float(pl), n)
+                    pending.clear()
                     logger.info(
                         f"Train [{epoch}/{cfg.epochs}]"
                         f"[{it}/{len(train_loader)}] "
                         f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
                         f"loss {meter.val:.4f} ({meter.avg:.4f})")
-        t = timer.summary()
+            for pl, n in pending:
+                meter.update(float(pl), n)
+            pending.clear()
+        jax.block_until_ready(state.params)
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s "
                     f"lr {float(trainer.lr_schedule(int(state.step))):.6f} "
-                    f"host {t['host_ms_per_step']:.1f}ms/step "
-                    f"device {t['device_ms_per_step']:.1f}ms/step")
+                    f"wall {1e3*batch_meter.avg:.1f}ms/step")
         writer.add_scalar("train/loss", meter.avg, epoch)
         writer.add_scalar("train/lr",
                           float(trainer.lr_schedule(int(state.step))), epoch)

@@ -62,15 +62,23 @@ def main():
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter = AverageMeter()
+        step_base = (epoch - 1) * len(train_loader)
+        pending = []  # un-synced device losses (syncing per step serializes
+        # host batch prep with device compute)
         for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            step_rng = jax.random.fold_in(rng, int(disc_state.step))
-            disc_state, loss = trainer.pretrain_step(disc_state, batch,
-                                                     step_rng)
-            meter.update(float(loss), len(batch["points"]))
+            step_rng = jax.random.fold_in(rng, step_base + it)
+            disc_state, loss = trainer.pretrain_step(disc_state, batch, step_rng)
+            pending.append((loss, len(batch["points"])))
             if it % cfg.print_freq == 0:
+                for pl, n in pending:
+                    meter.update(float(pl), n)
+                pending.clear()
                 logger.info(
                     f"D [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
                     f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        for pl, n in pending:
+            meter.update(float(pl), n)
+        pending.clear()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
 
         if epoch % cfg.val_freq == 0:
