@@ -27,6 +27,8 @@ from .data.offset_dataset import OffsetDataset
 def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
                            batch_size: int = 16,
                            num_outputs: int = 3,
+                           num_votes: int = 1,
+                           rng_seed: int = 0,
                            ) -> List[np.ndarray]:
     """Run patch predictions and vote-average them per cloud.
 
@@ -34,6 +36,11 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
       predict_fn: jitted ``batch -> (B, N, num_outputs)`` predictor.
       dataset: an OffsetDataset in a test split (its patch table covers each
         cloud with grid-subsampled centers).
+      num_votes: augmentation-based voting rounds (the offset analogue of
+        evaluate_dist.py:277-300): rounds past the first rotate each patch
+        by a random z-angle (the training augmentation), predict, rotate
+        the offset channels back, and accumulate into the same vote
+        buffers — averaging out per-orientation prediction noise.
 
     Returns:
       per-cloud arrays (P_cloud, num_outputs) of vote-averaged predictions.
@@ -43,15 +50,37 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
     counts = [np.zeros((len(s.points), 1), np.float64)
               for s in dataset.shapes]
 
+    rng = np.random.default_rng(rng_seed)
     loader = BatchLoader(dataset, batch_size, drop_last=False)
-    for batch in loader.epoch_iter(0):
-        pred = np.asarray(predict_fn(batch))  # (B, N, num_outputs)
-        masks = batch["mask"] > 0
-        for b in range(pred.shape[0]):
-            ci = int(batch["cloud_ind"][b])
-            inds = batch["input_inds"][b][masks[b]]
-            sums[ci][inds] += pred[b][masks[b]]
-            counts[ci][inds] += 1.0
+    for vote in range(num_votes):
+        for batch in loader.epoch_iter(0):
+            if vote > 0:
+                theta = rng.uniform(0, 2 * np.pi,
+                                    size=len(batch["points"]))
+                c, s_ = np.cos(theta), np.sin(theta)
+                rot = np.zeros((len(theta), 3, 3), np.float32)
+                rot[:, 0, 0], rot[:, 0, 1] = c, -s_
+                rot[:, 1, 0], rot[:, 1, 1] = s_, c
+                rot[:, 2, 2] = 1.0
+                pts = np.einsum("bni,bij->bnj", batch["points"], rot)
+                feats = batch["features"]
+                # only raw-xyz features rotate with the patch; Fourier or
+                # scan features are left as-is (reference eval augments
+                # points only, data_utils.py:306-376)
+                if feats.shape[-1] == 3:
+                    feats = pts.copy()
+                batch = dict(batch, points=pts, features=feats)
+            pred = np.asarray(predict_fn(batch))  # (B, N, num_outputs)
+            if vote > 0:
+                pred = pred.copy()
+                pred[..., :3] = np.einsum("bni,bji->bnj", pred[..., :3],
+                                          rot)
+            masks = batch["mask"] > 0
+            for b in range(pred.shape[0]):
+                ci = int(batch["cloud_ind"][b])
+                inds = batch["input_inds"][b][masks[b]]
+                sums[ci][inds] += pred[b][masks[b]]
+                counts[ci][inds] += 1.0
     out = []
     for s, c in zip(sums, counts):
         out.append((s / np.maximum(c, 1.0)).astype(np.float32))
@@ -59,10 +88,12 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
 
 
 def denoise_clouds(predict_fn, dataset: OffsetDataset,
-                   batch_size: int = 16) -> List[Dict[str, np.ndarray]]:
+                   batch_size: int = 16, num_votes: int = 1
+                   ) -> List[Dict[str, np.ndarray]]:
     """Offset-regression denoising: per cloud return noisy, denoised, and
     the averaged offsets (qualitative_inference_test.py:513-560)."""
-    offsets = predict_offsets_voting(predict_fn, dataset, batch_size, 3)
+    offsets = predict_offsets_voting(predict_fn, dataset, batch_size, 3,
+                                     num_votes=num_votes)
     results = []
     for shape, off in zip(dataset.shapes, offsets):
         results.append({
@@ -77,12 +108,14 @@ def denoise_clouds(predict_fn, dataset: OffsetDataset,
 
 def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
                  outlier_threshold: float = 0.5,
-                 norm_factor: Optional[float] = None
+                 norm_factor: Optional[float] = None,
+                 num_votes: int = 1
                  ) -> List[Dict[str, np.ndarray]]:
     """Full-cleaning inference: tanh offsets + sigmoid outlierness; points
     predicted as outliers are removed, the rest are denoised
     (qualitative_inference_test.py:411-506)."""
-    raw = predict_offsets_voting(predict_fn, dataset, batch_size, 4)
+    raw = predict_offsets_voting(predict_fn, dataset, batch_size, 4,
+                                 num_votes=num_votes)
     results = []
     for shape, pred in zip(dataset.shapes, raw):
         off = np.tanh(pred[:, :3])

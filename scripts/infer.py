@@ -41,6 +41,10 @@ def main():
                    help="denoise each full cloud in one forward with the "
                         "point axis sharded over the device mesh "
                         "(parallel.spatial) instead of patch voting")
+    p.add_argument("--num_votes", type=int, default=1,
+                   help="augmentation-based voting rounds: rounds past the "
+                        "first rotate patches by a random z-angle, predict, "
+                        "and rotate the offsets back before vote-averaging")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args()
 
@@ -83,10 +87,12 @@ def main():
         if args.full_cleaning:
             results = clean_clouds(predict, dataset,
                                    batch_size=cfg.batch_size,
-                                   norm_factor=norm_factor)
+                                   norm_factor=norm_factor,
+                                   num_votes=args.num_votes)
         else:
             results = denoise_clouds(predict, dataset,
-                                     batch_size=cfg.batch_size)
+                                     batch_size=cfg.batch_size,
+                                     num_votes=args.num_votes)
 
     for sub in ("noisy", "denoised", "clean"):
         os.makedirs(os.path.join(args.out_dir, sub), exist_ok=True)

@@ -154,3 +154,17 @@ def test_norm_predict_fn_scales_offsets_only():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(got[..., 3], want[..., 3],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_multi_vote_offset_equivariance(test_dataset):
+    """Augmented voting rotates patches and un-rotates predictions; for a
+    rotation-equivariant predictor (pred = c * points) every vote round
+    agrees, so 3 votes == 1 vote exactly."""
+    def equivariant(batch):
+        return 0.1 * np.asarray(batch["points"], np.float32)
+
+    one = predict_offsets_voting(equivariant, test_dataset, batch_size=2,
+                                 num_votes=1)
+    three = predict_offsets_voting(equivariant, test_dataset, batch_size=2,
+                                   num_votes=3)
+    np.testing.assert_allclose(three[0], one[0], rtol=1e-5, atol=1e-6)
