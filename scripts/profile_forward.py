@@ -41,6 +41,9 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _flagship_config
