@@ -26,11 +26,15 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, *, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # patch extraction (radius query + pad/shuffle) is numpy/C++ and
+        # releases the GIL, so a thread pool parallelizes it like the
+        # reference's DataLoader worker processes (train_dist.py:245-259)
+        self.num_workers = max(1, int(num_workers))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -50,8 +54,18 @@ class BatchLoader:
 
         def producer():
             try:
-                for idxs in self._indices():
-                    q.put(collate([self.dataset.get(i, epoch) for i in idxs]))
+                if self.num_workers > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for idxs in self._indices():
+                            samples = list(pool.map(
+                                lambda i: self.dataset.get(i, epoch), idxs))
+                            q.put(collate(samples))
+                else:
+                    for idxs in self._indices():
+                        q.put(collate([self.dataset.get(i, epoch)
+                                       for i in idxs]))
             finally:
                 q.put(sentinel)
 

@@ -189,6 +189,7 @@ class OffsetDataset:
         self.subsampling_parameter = subsampling_parameter
         self.epoch = 0
         self.rng = np.random.default_rng(seed)
+        self._sample_seed = 0 if seed is None else int(seed)
         self.fourier_B = self.rng.normal(0.0, 12.0, size=(32, 3))
         if sample_dl_patches is None:
             sample_dl_patches = in_radius
@@ -295,6 +296,10 @@ class OffsetDataset:
         cloud_ind = int(self.cloud_inds[index])
         point_ind = int(self.point_inds[index])
         shape = self.shapes[cloud_ind]
+        # per-sample rng (seeded by the global sample index): thread-safe
+        # under the loader's worker pool and reproducible independent of
+        # iteration order — unlike the reference's shared numpy state
+        rng = np.random.default_rng((self._sample_seed, index))
 
         pick = shape.points[point_ind].reshape(1, 3) \
             + self.center_noise[index].astype(np.float32)
@@ -310,12 +315,12 @@ class OffsetDataset:
 
         if self.num_points < cur:
             keep = query_inds[: self.num_points]
-            input_inds = keep[self.rng.permutation(self.num_points)]
+            input_inds = keep[rng.permutation(self.num_points)]
             mask = np.ones(self.num_points, np.float32)
         else:
             if "U-Net" in self.architecture:
-                query_inds = query_inds[self.rng.permutation(cur)]
-                pad = self.rng.integers(0, cur, self.num_points - cur)
+                query_inds = query_inds[rng.permutation(cur)]
+                pad = rng.integers(0, cur, self.num_points - cur)
                 input_inds = np.concatenate([query_inds, query_inds[pad]])
             else:  # PCN pads with point 0 of the cloud (:666-668)
                 pad = np.zeros(self.num_points - cur, dtype=np.int64)
@@ -335,7 +340,7 @@ class OffsetDataset:
 
         if self.transforms is not None:
             stack = np.concatenate([points, offsets], axis=0)
-            stack = self.transforms(stack, self.rng)
+            stack = self.transforms(stack, rng)
             points = stack[: self.num_points]
             offsets = stack[self.num_points:]
 

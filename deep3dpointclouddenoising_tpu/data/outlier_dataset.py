@@ -136,6 +136,7 @@ class OutlierSegmentationDataset:
         self.transforms = transforms
         self.epoch = 0
         self.rng = np.random.default_rng(seed)
+        self._sample_seed = 0 if seed is None else int(seed)
         self.label_to_names = {0: "inlier", 1: "outlier"}
 
         dim = 0
@@ -373,6 +374,8 @@ class OutlierSegmentationDataset:
         sl = self.sub_labels[cloud_ind]
         gi = self.sub_indexes[cloud_ind]
 
+        # per-sample rng: thread-safe under the loader worker pool
+        rng = np.random.default_rng((self._sample_seed, index))
         pick = sp[point_ind].reshape(1, 3) \
             + self.center_noise[index].astype(np.float32)
         query_inds, total = gi.query_radius_sorted(pick[0], self.in_radius)
@@ -384,24 +387,24 @@ class OutlierSegmentationDataset:
 
         if self.num_points < cur:
             keep = query_inds[: self.num_points]
-            input_inds = keep[self.rng.permutation(self.num_points)]
+            input_inds = keep[rng.permutation(self.num_points)]
             mask = np.ones(self.num_points, np.float32)
         else:
-            query_inds = query_inds[self.rng.permutation(cur)]
-            pad = self.rng.integers(0, cur, self.num_points - cur)
+            query_inds = query_inds[rng.permutation(cur)]
+            pad = rng.integers(0, cur, self.num_points - cur)
             input_inds = np.concatenate([query_inds, query_inds[pad]])
             mask = np.zeros(self.num_points, np.float32)
             mask[:cur] = 1.0
 
         points = sp[input_inds] - pick
         feats = sf[input_inds]
-        if self.feature_drop > 0 and self.rng.random() < self.feature_drop:
+        if self.feature_drop > 0 and rng.random() < self.feature_drop:
             feats = np.zeros_like(feats)
         feats = pad_features_to_3(feats)
         labels = sl[input_inds]
 
         if self.transforms is not None:
-            points = self.transforms(points, self.rng)
+            points = self.transforms(points, rng)
 
         return {
             "points": points.astype(np.float32),

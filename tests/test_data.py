@@ -183,3 +183,24 @@ def test_fourier_features_wiring(tmp_path):
     # the projection matrix must agree across instances (same seed), so a
     # val/test/inference dataset maps features identically to training
     np.testing.assert_allclose(a.fourier_B, b.fourier_B)
+
+
+def test_loader_worker_pool_deterministic(tmp_path):
+    """Patch assembly uses per-sample rng, so the threaded worker pool
+    yields byte-identical batches regardless of num_workers."""
+    from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import (
+        OffsetDataset)
+    from deep3dpointclouddenoising_tpu.data.synthetic import make_icosphere
+
+    ds = OffsetDataset(
+        str(tmp_path), "train", in_radius=0.4, num_points=64, num_steps=8,
+        num_epochs=1, noise_type="gaussian", noise_level=5e-3,
+        num_points_per_shape=1000, outlier_proportion=0.0, seed=1,
+        shapes={"train/sphere": make_icosphere(2)})
+    serial = list(BatchLoader(ds, 4, num_workers=1).epoch_iter(0))
+    pooled = list(BatchLoader(ds, 4, num_workers=4).epoch_iter(0))
+    assert len(serial) == len(pooled) == 2
+    for b1, b4 in zip(serial, pooled):
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b4[k])
