@@ -43,17 +43,20 @@ def measure_forward_pps(iters: int = ITERS, batch: int = BATCH,
     variables = model.init(jax.random.PRNGKey(0), b["points"], b["mask"],
                            b["features"], train=False)
 
+    # variables as an argument (not a closure constant) keeps the compile-
+    # cache key independent of the init values
     @jax.jit
-    def forward(points, mask, features):
+    def forward(variables, points, mask, features):
         return model.apply(variables, points, mask, features, train=False)
 
+    v = jax.device_put(variables)
     args = (jax.device_put(b["points"]), jax.device_put(b["mask"]),
             jax.device_put(b["features"]))
     for _ in range(WARMUP):
-        forward(*args).block_until_ready()
+        forward(v, *args).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(*args)
+        out = forward(v, *args)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     points_per_iter = batch * int(cfg.num_points)

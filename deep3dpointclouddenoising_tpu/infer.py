@@ -249,8 +249,13 @@ def make_predict_fn(model, variables, raw: bool = False,
     from tanh(f*raw)).
     """
 
+    # variables enter as an ARGUMENT, not a closure constant: baking the
+    # checkpoint weights into the HLO gives every checkpoint a distinct
+    # compile-cache key (and a weights-sized cache entry), forcing a full
+    # remote recompile per inference run.  As an argument the executable is
+    # weight-independent and caches once per geometry.
     @jax.jit
-    def fwd(points, mask, features):
+    def fwd(variables, points, mask, features):
         if norm_factor:
             points = points / norm_factor
             features = features / norm_factor
@@ -262,7 +267,8 @@ def make_predict_fn(model, variables, raw: bool = False,
         return out
 
     def predict(batch):
-        return fwd(jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]),
+        return fwd(variables, jnp.asarray(batch["points"]),
+                   jnp.asarray(batch["mask"]),
                    jnp.asarray(batch["features"]))
 
     return predict
