@@ -169,12 +169,15 @@ def main():
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()
+            vpending = []  # sync once at the end, not per batch
             for batch in val_loader.epoch_iter(0):
                 if cfg.norm:
                     for k in ("points", "offsets", "features"):
                         batch[k] = batch[k] / norm_factor
-                vloss = trainer.eval_step(state, batch)
-                vmeter.update(float(vloss), len(batch["points"]))
+                vpending.append((trainer.eval_step(state, batch),
+                                 len(batch["points"])))
+            for vl, n in vpending:
+                vmeter.update(float(vl), n)
             logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
             writer.add_scalar("val/loss", vmeter.avg, epoch)
 

@@ -86,9 +86,12 @@ def main():
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()
+            vpending = []  # sync once at the end, not per batch
             for batch in val_loader.epoch_iter(0):
-                vmeter.update(float(trainer.eval_step(state, batch)),
-                              len(batch["points"]))
+                vpending.append((trainer.eval_step(state, batch),
+                                 len(batch["points"])))
+            for vl, n in vpending:
+                vmeter.update(float(vl), n)
             logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
         save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
 
