@@ -72,17 +72,27 @@ def main():
         tic = time.time()
         meters = {k: AverageMeter() for k in
                   ("err_g", "err_g1", "err_g2", "err_d", "disc_accuracy")}
+        step_base = (epoch - 1) * len(train_loader)
+        pending = []  # un-synced device metrics (per-step float() reads
+        # serialize host batch prep with device compute)
         for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            step_rng = jax.random.fold_in(rng, int(gen_state.step)
+            step_rng = jax.random.fold_in(rng, step_base + it
                                           + 7919 * epoch)
             gen_state, disc_state, metrics = trainer.update(
                 gen_state, disc_state, batch, step_rng)
-            for k, m in meters.items():
-                m.update(float(metrics[k]), len(batch["points"]))
+            pending.append((metrics, len(batch["points"])))
             if it % cfg.print_freq == 0:
+                for mt, n in pending:
+                    for k, m in meters.items():
+                        m.update(float(mt[k]), n)
+                pending.clear()
                 logger.info(
                     f"GAN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
                     + " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items()))
+        for mt, n in pending:
+            for k, m in meters.items():
+                m.update(float(mt[k]), n)
+        pending.clear()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
         # per-block checkpoints (train_dist_GAN.py:291-303)
         save_checkpoint(os.path.join(cfg.log_dir, "generator"), epoch,
