@@ -52,6 +52,12 @@ def parse_args():
     p.add_argument("--epochs", type=int)
     p.add_argument("--start_epoch", type=int)
     p.add_argument("--load_path", type=str, default="")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="if <log_dir>/current exists, restore the full "
+                   "train state from it and continue from the epoch after "
+                   "the last completed one (derived from the restored "
+                   "step counter) — lets a supervisor relaunch a run that "
+                   "a backend hang killed without losing progress")
     p.add_argument("--log_dir", type=str, default="log")
     p.add_argument("--rng_seed", type=int, default=0)
     p.add_argument("--DEBUG", type=int, default=0)
@@ -114,6 +120,16 @@ def main():
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")
+    elif args.auto_resume:
+        current = os.path.join(cfg.log_dir, "current")
+        if os.path.isdir(current):
+            state = load_checkpoint(current, state)
+            # ``current`` is written at every epoch end, so the restored
+            # step count is a whole number of epochs
+            cfg.start_epoch = int(state.step) // len(train_loader) + 1
+            logger.info(f"auto-resumed from {current} at step "
+                        f"{int(state.step)} -> start_epoch "
+                        f"{cfg.start_epoch}")
 
     norm_factor = cfg.in_radius / 100.0
     writer = MetricsWriter(cfg.log_dir)
