@@ -87,15 +87,19 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
 
     Eagerly ``device_put``s up to ``size`` upcoming batches (JAX transfers
     are async, so this just keeps the copy engine ahead of the compute
-    stream) and yields them in order.
+    stream) and yields them in order.  ``sharding`` may be a Sharding (or
+    pytree of them) passed to device_put, or a callable batch -> placed
+    batch (e.g. ``Trainer.shard_batch``, which picks per-leaf shardings).
     """
     import collections
 
     import jax
 
+    place = sharding if callable(sharding) \
+        else (lambda item: jax.device_put(item, sharding))
     buf = collections.deque()
     for item in iterator:
-        buf.append(jax.device_put(item, sharding))
+        buf.append(place(item))
         if len(buf) > size:
             yield buf.popleft()
     while buf:

@@ -20,9 +20,11 @@ from typing import Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..losses.masked import masked_binary_cross_entropy
+from ..parallel.mesh import DATA_AXIS, make_mesh
 from .trainer import TrainState, make_optimizer
 
 REAL_LABEL = 1.0
@@ -40,20 +42,52 @@ class GANTrainer:
     (train_dist_GAN.py:373-397)."""
 
     def __init__(self, cfg: Config, generator, gen_loss: Callable,
-                 discriminator, n_iter_per_epoch: int, world_size: int = 1,
+                 discriminator, n_iter_per_epoch: int, mesh=None,
                  freeze_generator: bool = False):
+        """Both nets get the Trainer mesh treatment
+        (the reference DDP-wraps generator AND discriminator,
+        train_dist_GAN.py:400-401): parameters/optimizer states replicated,
+        batches sharded on the data axis, so XLA all-reduces both gradient
+        streams over ICI inside the one jitted update."""
         self.cfg = cfg
         self.generator = generator
         self.discriminator = discriminator
         self.gen_loss = gen_loss
         self.freeze_generator = freeze_generator
-        self.tx_g, self.lr_g = make_optimizer(cfg, n_iter_per_epoch,
-                                              world_size)
-        self.tx_d, self.lr_d = make_optimizer(cfg, n_iter_per_epoch,
-                                              world_size)
-        self._jit_update = jax.jit(self._update)
-        self._jit_pretrain = jax.jit(self._pretrain_step)
-        self._jit_pretrain_acc = jax.jit(self._pretrain_accuracy)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        world = self.mesh.devices.size
+        self.tx_g, self.lr_g = make_optimizer(cfg, n_iter_per_epoch, world)
+        self.tx_d, self.lr_d = make_optimizer(cfg, n_iter_per_epoch, world)
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        # batch placement inherited from committed args (shard_batch) —
+        # states replicated and donated, like Trainer
+        self._jit_update = jax.jit(
+            self._update,
+            in_shardings=(self._repl, self._repl, None, None),
+            out_shardings=(self._repl, self._repl, self._repl),
+            donate_argnums=(0, 1))
+        self._jit_pretrain = jax.jit(
+            self._pretrain_step,
+            in_shardings=(self._repl, None, None),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,))
+        self._jit_pretrain_acc = jax.jit(
+            self._pretrain_accuracy,
+            in_shardings=(self._repl, None),
+            out_shardings=self._repl)
+
+    def shard_batch(self, batch: Dict) -> Dict:
+        """device_put each leaf batch-sharded (rank-0 leaves replicated).
+        A ragged final batch (drop_last=False val loaders) that does not
+        divide the mesh is replicated instead of sharded."""
+        n = self.mesh.devices.size
+
+        def _place(v):
+            ok = jnp.ndim(v) >= 1 and v.shape[0] % n == 0
+            return jax.device_put(v, self._batch_sh if ok else self._repl)
+
+        return jax.tree_util.tree_map(_place, batch)
 
     # -- state --------------------------------------------------------------
     def init_states(self, rng, batch) -> Tuple[TrainState, TrainState]:
@@ -72,7 +106,8 @@ class GANTrainer:
         ds = TrainState(step=jnp.zeros((), jnp.int32), params=dv["params"],
                         batch_stats=dv.get("batch_stats", {}),
                         opt_state=self.tx_d.init(dv["params"]))
-        return gs, ds
+        return (jax.device_put(gs, self._repl),
+                jax.device_put(ds, self._repl))
 
     # -- model application --------------------------------------------------
     def _gen_apply(self, params, bstats, batch, train, rng):
@@ -159,7 +194,8 @@ class GANTrainer:
         return new_gen, new_disc, metrics
 
     def update(self, gen_state, disc_state, batch, rng):
-        return self._jit_update(gen_state, disc_state, batch, rng)
+        return self._jit_update(gen_state, disc_state,
+                                self.shard_batch(batch), rng)
 
     # -- discriminator pre-training ----------------------------------------
     def _pretrain_step(self, disc_state: TrainState, batch: Dict, rng):
@@ -185,7 +221,7 @@ class GANTrainer:
                           batch_stats=new_bs, opt_state=opt), loss
 
     def pretrain_step(self, disc_state, batch, rng):
-        return self._jit_pretrain(disc_state, batch, rng)
+        return self._jit_pretrain(disc_state, self.shard_batch(batch), rng)
 
     def _pretrain_accuracy(self, disc_state: TrainState, batch: Dict):
         b = batch["points"].shape[0]
@@ -200,4 +236,4 @@ class GANTrainer:
                                       - labels2))
 
     def pretrain_accuracy(self, disc_state, batch):
-        return self._jit_pretrain_acc(disc_state, batch)
+        return self._jit_pretrain_acc(disc_state, self.shard_batch(batch))

@@ -99,20 +99,25 @@ class Trainer:
         self.loss_fn = loss_fn
         self.loss_mode = loss_mode
         self.mesh = mesh if mesh is not None else make_mesh()
+        self._spatial = spatial
         world = 1 if spatial else self.mesh.devices.size
         self.tx, self.lr_schedule = make_optimizer(cfg, n_iter_per_epoch,
                                                    world_size=world)
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(
             self.mesh, P(None, DATA_AXIS) if spatial else P(DATA_AXIS))
+        # batch shardings are per-leaf (shard_batch): a single pytree-prefix
+        # sharding would reject rank-1 leaves like cloud_ind (B,) under the
+        # spatial P(None, data) spec — so the jit inherits the batch
+        # placement from the committed arguments (in_shardings=None)
         self._jit_train = jax.jit(
             self._train_step,
-            in_shardings=(self._repl, self._make_batch_shardings(), None),
+            in_shardings=(self._repl, None, None),
             out_shardings=(self._repl, self._repl),
             donate_argnums=(0,))
         self._jit_eval = jax.jit(
             self._eval_step,
-            in_shardings=(self._repl, self._make_batch_shardings()),
+            in_shardings=(self._repl, None),
             out_shardings=self._repl)
 
     # -- init ---------------------------------------------------------------
@@ -128,9 +133,27 @@ class Trainer:
                            batch_stats=batch_stats, opt_state=opt_state)
         return jax.device_put(state, self._repl)
 
-    def _make_batch_shardings(self):
-        # pytree-of-dict prefix: shard every leaf on the leading (batch) axis
+    def _leaf_sharding(self, shape: Tuple[int, ...]) -> NamedSharding:
+        """Sharding for one batch leaf by shape.
+
+        Data-parallel: every array leaf shards on its leading (batch) axis.
+        Spatial: only rank>=2 leaves carry the point axis (axis 1) —
+        rank-1 leaves (cloud_ind (B,), scalars) are replicated, since a
+        P(None, data) spec is invalid for them.  A leaf whose sharded axis
+        does not divide the mesh (ragged drop_last=False val batches) is
+        replicated rather than rejected.
+        """
+        n = self.mesh.devices.size
+        axis = 1 if self._spatial else 0
+        if len(shape) <= axis or shape[axis] % n != 0:
+            return self._repl
         return self._batch_sh
+
+    def shard_batch(self, batch: Dict) -> Dict:
+        """device_put each batch leaf with its rank-appropriate sharding."""
+        return jax.tree_util.tree_map(
+            lambda v: jax.device_put(v, self._leaf_sharding(jnp.shape(v))),
+            batch)
 
     # -- steps --------------------------------------------------------------
     def _apply(self, params, batch_stats, batch, train: bool, rng):
@@ -178,16 +201,17 @@ class Trainer:
     # -- public -------------------------------------------------------------
     @property
     def batch_sharding(self):
-        """The NamedSharding train/eval batches are placed with (leading axis
-        over the data mesh axis; point axis instead when spatial=True)."""
-        return self._batch_sh
+        """Per-batch placement function (see ``shard_batch``) — pass to
+        ``data.loader.device_prefetch`` so prefetched batches land already
+        sharded."""
+        return self.shard_batch
 
     def train_step(self, state, batch, rng):
-        batch = jax.device_put(batch, self._batch_sh)
+        batch = self.shard_batch(batch)
         return self._jit_train(state, batch, rng)
 
     def eval_step(self, state, batch):
-        batch = jax.device_put(batch, self._batch_sh)
+        batch = self.shard_batch(batch)
         return self._jit_eval(state, batch)
 
     def predict(self, state, batch):

@@ -8,6 +8,7 @@ from deep3dpointclouddenoising_tpu.losses.build import (
     get_complete_denoising_loss)
 from deep3dpointclouddenoising_tpu.models import (
     build_discriminator, build_offset_regression)
+from deep3dpointclouddenoising_tpu.parallel.mesh import make_mesh
 from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
 
 
@@ -43,25 +44,61 @@ def test_gan_update_runs(rng):
     cfg = tiny_cfg()
     gen, gen_loss = build_offset_regression(cfg)
     disc, _ = build_discriminator(cfg)
-    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4)
+    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                         mesh=make_mesh(1))
     batch = make_batch(rng)
     gs, ds = trainer.init_states(jax.random.PRNGKey(0), batch)
+    d0 = np.asarray(jax.tree_util.tree_leaves(ds.params)[0])  # pre-donation
     gs2, ds2, metrics = trainer.update(gs, ds, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["err_g"]))
     assert np.isfinite(float(metrics["err_d"]))
     assert 0.0 <= float(metrics["disc_accuracy"]) <= 1.0
     # both nets actually updated
     assert int(gs2.step) == 1 and int(ds2.step) == 1
-    d0 = jax.tree_util.tree_leaves(ds.params)[0]
     d1 = jax.tree_util.tree_leaves(ds2.params)[0]
-    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    assert not np.allclose(d0, np.asarray(d1))
+
+
+def test_gan_multidevice_matches_single_device(rng):
+    """The mesh-sharded GAN update (generator AND discriminator gradient
+    all-reduce, train_dist_GAN.py:400-401) must track the single-device
+    update on the virtual 8-CPU mesh."""
+    assert len(jax.devices()) >= 8
+    cfg = tiny_cfg()
+    cfg.batch_size = 8
+    gen, gen_loss = build_offset_regression(cfg)
+    disc, _ = build_discriminator(cfg)
+    t1 = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                    mesh=make_mesh(1))
+    t8 = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                    mesh=make_mesh(8))
+    batch = make_batch(rng, B=8)
+    gs1, ds1 = t1.init_states(jax.random.PRNGKey(0), batch)
+    gs8, ds8 = t8.init_states(jax.random.PRNGKey(0), batch)
+
+    for i in range(2):
+        r = jax.random.PRNGKey(50 + i)
+        gs1, ds1, m1 = t1.update(gs1, ds1, batch, r)
+        gs8, ds8, m8 = t8.update(gs8, ds8, batch, r)
+        for k in ("err_d", "err_g", "err_g1", "err_g2"):
+            np.testing.assert_allclose(float(m1[k]), float(m8[k]),
+                                       rtol=3e-3, err_msg=k)
+    lr = float(cfg.base_learning_rate)
+    for a, b in zip(jax.tree_util.tree_leaves(gs1.params)
+                    + jax.tree_util.tree_leaves(ds1.params),
+                    jax.tree_util.tree_leaves(gs8.params)
+                    + jax.tree_util.tree_leaves(ds8.params)):
+        # adam sign-flip tolerance, as in the Trainer equivalence test
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=6.0 * lr)
 
 
 def test_discriminator_pretrain_step(rng):
     cfg = tiny_cfg()
     gen, gen_loss = build_offset_regression(cfg)
     disc, _ = build_discriminator(cfg)
-    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4)
+    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                         mesh=make_mesh(1))
     batch = make_batch(rng)
     _, ds = trainer.init_states(jax.random.PRNGKey(0), batch)
     ds2, loss = trainer.pretrain_step(ds, batch, jax.random.PRNGKey(1))
