@@ -29,6 +29,7 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
                            num_outputs: int = 3,
                            num_votes: int = 1,
                            rng_seed: int = 0,
+                           tanh_offsets: bool = False,
                            ) -> List[np.ndarray]:
     """Run patch predictions and vote-average them per cloud.
 
@@ -41,6 +42,12 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
         by a random z-angle (the training augmentation), predict, rotate
         the offset channels back, and accumulate into the same vote
         buffers — averaging out per-orientation prediction noise.
+      tanh_offsets: full-cleaning mode — apply tanh to the first 3 channels
+        BEFORE any un-rotation/averaging, so what accumulates is the
+        physical offset.  Rotation does not commute with tanh, and neither
+        does averaging, so voting on raw pre-tanh logits would bias every
+        vote round (tanh is applied per-channel downstream); any extra
+        channels (the outlierness logit) still average raw.
 
     Returns:
       per-cloud arrays (P_cloud, num_outputs) of vote-averaged predictions.
@@ -64,13 +71,31 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
                 rot[:, 2, 2] = 1.0
                 pts = np.einsum("bni,bij->bnj", batch["points"], rot)
                 feats = batch["features"]
-                # only raw-xyz features rotate with the patch; Fourier or
-                # scan features are left as-is (reference eval augments
-                # points only, data_utils.py:306-376)
+                # features must describe the SAME geometry the model sees:
+                # raw-xyz features are the rotated points themselves, and
+                # Fourier features are recomputed from the rotated points
+                # with the dataset's fixed projection (feeding features of
+                # the unrotated patch would silently corrupt the vote
+                # average).  Any other feature kind cannot be re-derived
+                # here — refuse rather than vote on inconsistent inputs
+                # (the reference likewise raises on unsupported feature
+                # dims in its voting path).
                 if feats.shape[-1] == 3:
                     feats = pts.copy()
+                elif getattr(dataset, "fourier_features", False):
+                    from .data.offset_dataset import fourier_input_mapping
+                    feats = fourier_input_mapping(
+                        pts, dataset.fourier_B).astype(feats.dtype)
+                else:
+                    raise NotImplementedError(
+                        f"num_votes > 1 with {feats.shape[-1]}-dim "
+                        "non-Fourier features: cannot recompute features "
+                        "for the rotated patch")
                 batch = dict(batch, points=pts, features=feats)
             pred = np.asarray(predict_fn(batch))  # (B, N, num_outputs)
+            if tanh_offsets:
+                pred = pred.copy()
+                pred[..., :3] = np.tanh(pred[..., :3])
             if vote > 0:
                 pred = pred.copy()
                 pred[..., :3] = np.einsum("bni,bji->bnj", pred[..., :3],
@@ -113,12 +138,14 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
                  ) -> List[Dict[str, np.ndarray]]:
     """Full-cleaning inference: tanh offsets + sigmoid outlierness; points
     predicted as outliers are removed, the rest are denoised
-    (qualitative_inference_test.py:411-506)."""
+    (qualitative_inference_test.py:411-506).  The vote buffers accumulate
+    tanh'd (physical) offsets — see ``predict_offsets_voting``
+    (tanh_offsets) — so no tanh is applied to the averages here."""
     raw = predict_offsets_voting(predict_fn, dataset, batch_size, 4,
-                                 num_votes=num_votes)
+                                 num_votes=num_votes, tanh_offsets=True)
     results = []
     for shape, pred in zip(dataset.shapes, raw):
-        off = np.tanh(pred[:, :3])
+        off = pred[:, :3].copy()
         if norm_factor:
             # norm training fits tanh(raw) to offsets/f, so the physical
             # offset is f*tanh(raw) — predict_fn must NOT pre-scale the
@@ -253,7 +280,12 @@ def make_predict_fn(model, variables, raw: bool = False,
     # checkpoint weights into the HLO gives every checkpoint a distinct
     # compile-cache key (and a weights-sized cache entry), forcing a full
     # remote recompile per inference run.  As an argument the executable is
-    # weight-independent and caches once per geometry.
+    # weight-independent and caches once per geometry.  Committed to device
+    # once here — callers typically pass the checkpoint's host numpy trees,
+    # which would otherwise re-transfer the full weight pytree every batch
+    # (and every vote round) over the relay.
+    variables = jax.device_put(variables)
+
     @jax.jit
     def fwd(variables, points, mask, features):
         if norm_factor:

@@ -50,6 +50,28 @@ def test_oracle_predictor_denoises(test_dataset):
     assert np.max(err) < 1e-4
 
 
+def test_device_nn_dists_matches_kdtree(rng):
+    """The on-device MXU brute-force NN distances must reproduce the host
+    KD-tree path to float noise (identical offline tables both ways),
+    including the chunk-padding tail."""
+    from deep3dpointclouddenoising_tpu.evaluate import (
+        _nn_dists, _nn_dists_device, chamfer_ratio_table)
+
+    x = rng.random((1003, 3), dtype=np.float32)  # not a multiple of chunk
+    y = rng.random((777, 3), dtype=np.float32)
+    # the matmul form x2+y2-2xy cancels catastrophically only at ~1e-6
+    # absolute — tables are identical to that noise
+    np.testing.assert_allclose(_nn_dists_device(x, y, chunk=256),
+                               _nn_dists(x, y), rtol=1e-3, atol=1e-4)
+
+    clean = [rng.random((500, 3), dtype=np.float32)]
+    noisy = [clean[0] + rng.normal(size=(500, 3)).astype(np.float32) * 0.01]
+    den = [clean[0] + rng.normal(size=(500, 3)).astype(np.float32) * 0.001]
+    host = chamfer_ratio_table(clean, noisy, den, names=["s"])
+    dev = chamfer_ratio_table(clean, noisy, den, names=["s"], device=True)
+    assert dev["s"]["ratio"] == pytest.approx(host["s"]["ratio"], rel=1e-4)
+
+
 def test_chamfer_ratio_table_improvement(rng):
     clean = [rng.random((500, 3), dtype=np.float32)]
     noisy = [clean[0] + rng.normal(size=(500, 3)).astype(np.float32) * 0.01]
@@ -168,3 +190,86 @@ def test_multi_vote_offset_equivariance(test_dataset):
     three = predict_offsets_voting(equivariant, test_dataset, batch_size=2,
                                    num_votes=3)
     np.testing.assert_allclose(three[0], one[0], rtol=1e-5, atol=1e-6)
+
+
+def test_multi_vote_fourier_features_recomputed(tmp_path_factory):
+    """Vote rounds rotate the patch; Fourier features must be recomputed
+    from the ROTATED points (voting on features of the unrotated geometry
+    silently corrupts the average)."""
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import \
+        fourier_input_mapping
+
+    root = str(tmp_path_factory.mktemp("shapes_fourier"))
+    ds = OffsetDataset(
+        root, "qualitative_test", in_radius=0.4, num_points=128,
+        num_steps=4, num_epochs=1, noise_type="gaussian", noise_level=5e-3,
+        num_points_per_shape=1000, outlier_proportion=0.0, seed=0,
+        sample_dl_patches=0.3, fourier_features=True,
+        shapes={"qualitative_test/sphere": make_icosphere(2)})
+
+    seen = []
+
+    def checking(batch):
+        seen.append(np.max(np.abs(
+            batch["features"]
+            - fourier_input_mapping(batch["points"], ds.fourier_B))))
+        return 0.1 * np.asarray(batch["points"], np.float32)
+
+    predict_offsets_voting(checking, ds, batch_size=2, num_votes=3)
+    assert seen and max(seen) < 1e-5
+
+
+def test_multi_vote_unknown_features_rejected(test_dataset):
+    """Non-Fourier multi-dim features cannot be re-derived for a rotated
+    patch — voting must refuse instead of feeding inconsistent inputs."""
+    def pred(batch):
+        return 0.1 * np.asarray(batch["points"], np.float32)
+
+    def widen(batch):
+        return dict(batch, features=np.concatenate(
+            [batch["features"], batch["features"]], axis=-1))
+
+    class WideLoader:
+        pass
+
+    # wrap the dataset's batches with 6-dim features via a patched loader
+    import deep3dpointclouddenoising_tpu.infer as infer_mod
+    orig = infer_mod.BatchLoader
+
+    class PatchedLoader(orig):
+        def epoch_iter(self, e):
+            for b in super().epoch_iter(e):
+                yield widen(b)
+
+    infer_mod.BatchLoader = PatchedLoader
+    try:
+        with pytest.raises(NotImplementedError):
+            predict_offsets_voting(pred, test_dataset, batch_size=2,
+                                   num_votes=2)
+    finally:
+        infer_mod.BatchLoader = orig
+
+
+def test_multi_vote_full_cleaning_physical_offsets(test_dataset):
+    """Full-cleaning voting averages PHYSICAL (tanh'd) offsets: for a
+    predictor whose physical offset is rotation-equivariant
+    (logits = arctanh(0.1*points)), 3 votes must equal 1 vote exactly.
+    Un-rotating raw pre-tanh logits would break this (tanh does not
+    commute with rotation)."""
+    def pred(batch):
+        pts = np.asarray(batch["points"], np.float32)
+        off = np.clip(0.1 * pts, -0.99, 0.99)
+        logits = np.arctanh(off)
+        outl = np.full(pts.shape[:2] + (1,), -2.0, np.float32)
+        return np.concatenate([logits, outl], axis=-1)
+
+    one = predict_offsets_voting(pred, test_dataset, batch_size=2,
+                                 num_votes=1, num_outputs=4,
+                                 tanh_offsets=True)
+    three = predict_offsets_voting(pred, test_dataset, batch_size=2,
+                                   num_votes=3, num_outputs=4,
+                                   tanh_offsets=True)
+    np.testing.assert_allclose(three[0], one[0], rtol=1e-5, atol=1e-6)
+    # offsets are physical (tanh applied before averaging): bounded by the
+    # 0.1 * |centered patch coords| scale, far below the raw-logit scale
+    assert np.all(np.abs(one[0][:, :3]) <= 0.1 * 1.001)
