@@ -28,39 +28,81 @@ import jax.numpy as jnp
 def _nn_dists(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Euclidean distance from each x point to its nearest y point.
 
-    Host KD-tree, not the brute-force device kernel: the offline tables run
-    at full-cloud scale (140k x 140k pairs -> ~3e12 flops brute force,
-    ~30 min on CPU) where O(N log N) finishes in seconds.  The chunked
-    device path in losses/chamfer.py remains the in-training/loss
-    implementation.
+    Host KD-tree by default: the offline tables run at full-cloud scale
+    (140k x 140k pairs -> ~3e12 flops brute force, ~30 min on CPU
+    elementwise) where O(N log N) finishes in seconds.  The device
+    alternative is :func:`_nn_dists_device`; the chunked device path in
+    losses/chamfer.py remains the in-training/loss implementation.
     """
     from scipy.spatial import cKDTree
 
     return cKDTree(np.asarray(y)).query(np.asarray(x), workers=-1)[0]
 
 
-def _cd(a: np.ndarray, b: np.ndarray) -> float:
+def _nn_dists_device(x: np.ndarray, y: np.ndarray,
+                     chunk: int = 2048) -> np.ndarray:
+    """Device (batched brute-force) nearest-neighbor distances.
+
+    Rides the MXU: per query chunk, squared distances come from one
+    ``x2 + y2 - 2 x.y^T`` matmul against the whole support cloud, then a
+    row min — ~O(N^2) flops but at matmul speed-of-light, so a 140k x 140k
+    table takes ~0.1 TFLOP, well under a second of device time.  The chunk
+    bounds the materialized (chunk, N) distance tile in HBM (~1.1 GB at
+    chunk 2048 / N 140k).  HIGHEST precision keeps the matmul in full f32
+    so the tables match the host KD-tree path to float noise.
+    """
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    n = len(x)
+    n_pad = -(-n // chunk) * chunk
+    xp = np.zeros((n_pad, 3), np.float32)
+    xp[:n] = x
+
+    @jax.jit
+    def one_chunk(xc, yv, y2):
+        x2 = jnp.sum(xc * xc, axis=-1)
+        d2 = (x2[:, None] + y2[None, :]
+              - 2.0 * jnp.dot(xc, yv.T, precision=jax.lax.Precision.HIGHEST))
+        # the matmul form x2+y2-2xy cancels catastrophically for
+        # near-duplicate points (relative error ~1e-2 at d~1e-3), so it
+        # only picks the argmin; the returned distance is recomputed in
+        # the exact difference form
+        nn = jnp.take(yv, jnp.argmin(d2, axis=1), axis=0)
+        return jnp.linalg.norm(xc - nn, axis=-1)
+
+    yv = jnp.asarray(y)
+    y2 = jnp.sum(yv * yv, axis=-1)
+    outs = [one_chunk(xp[i:i + chunk], yv, y2)
+            for i in range(0, n_pad, chunk)]
+    return np.concatenate([np.asarray(o) for o in outs])[:n]
+
+
+def _cd(a: np.ndarray, b: np.ndarray, device: bool = False) -> float:
     """Symmetric L2 (squared) Chamfer distance, matching
     losses/chamfer.py: chamfer_distance(norm_type='L2')."""
-    da = _nn_dists(a, b)
-    db = _nn_dists(b, a)
+    nn = _nn_dists_device if device else _nn_dists
+    da = nn(a, b)
+    db = nn(b, a)
     return float((da ** 2).mean() + (db ** 2).mean())
 
 
 def chamfer_ratio_table(clean: Sequence[np.ndarray],
                         noisy: Sequence[np.ndarray],
                         denoised: Sequence[np.ndarray],
-                        names: Optional[Sequence[str]] = None
+                        names: Optional[Sequence[str]] = None,
+                        device: bool = False
                         ) -> Dict[str, Dict[str, float]]:
     """Per-shape CD ratios; 'mean' aggregates like the reference table
-    (compute_cd.py:120-169).  Ratio < 1 means the model improved the cloud."""
+    (compute_cd.py:120-169).  Ratio < 1 means the model improved the cloud.
+    ``device=True`` computes the NN distances with the batched on-device
+    kernel instead of the host KD-tree (identical tables either way)."""
     names = list(names) if names is not None else [
         f"shape_{i}" for i in range(len(clean))]
     table: Dict[str, Dict[str, float]] = {}
     ratios, absolutes = [], []
     for name, c, n, d in zip(names, clean, noisy, denoised):
-        cd_dn = _cd(c, d)
-        cd_ns = _cd(c, n)
+        cd_dn = _cd(c, d, device=device)
+        cd_ns = _cd(c, n, device=device)
         ratio = cd_dn / max(cd_ns, 1e-12)
         table[name] = {"cd_denoised": cd_dn, "cd_noisy": cd_ns,
                        "ratio": ratio}
@@ -90,7 +132,7 @@ def performance_table(clean: Sequence[np.ndarray],
             "noise_ratio": float(d.mean()),
             "outlier_ratio": float((d > outlier_threshold).mean()),
         }
-    vals = [t for k, t in table.items()]
+    vals = [t for k, t in table.items() if k != "mean"]
     table["mean"] = {
         "noise_ratio": float(np.mean([t["noise_ratio"] for t in vals])),
         "outlier_ratio": float(np.mean([t["outlier_ratio"] for t in vals])),

@@ -28,11 +28,20 @@ def main():
                    help="JAX platform for the CD computation (offline "
                         "tables default to cpu so they never wait on the "
                         "TPU tunnel)")
+    p.add_argument("--device", action="store_true",
+                   help="compute NN distances with the batched on-device "
+                        "matmul kernel (MXU brute force) instead of the "
+                        "host KD-tree; combine with --platform '' to run "
+                        "it on the TPU")
     args = p.parse_args()
     out_dir = args.out_dir or args.in_dir
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.device:
+        from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+            enable_persistent_cache
+        enable_persistent_cache()
 
     names, clean, noisy, denoised = [], [], [], []
     for f in sorted(glob.glob(os.path.join(args.in_dir, "clean", "*.ply"))):
@@ -44,7 +53,8 @@ def main():
         denoised.append(read_ply(
             os.path.join(args.in_dir, "denoised", base))["vertex"])
 
-    table = chamfer_ratio_table(clean, noisy, denoised, names)
+    table = chamfer_ratio_table(clean, noisy, denoised, names,
+                                device=args.device)
     txt = format_cd_table(table)
     print(txt)
     with open(os.path.join(out_dir, "CD_table.txt"), "w") as f:
