@@ -123,9 +123,25 @@ class PseudoGrid(nn.Module):
             # one-hot matmul cost
             feats_in = support_features if dt is None \
                 else support_features.astype(dt)
-            out = kpconv_aggregate(feats_in, nbr.idx, nbr.rel_xyz,
-                                   fmask, kpoints, kernel_weights,
-                                   float(extent), pg.KP_influence, interpret)
+            mesh = getattr(self.cfg, "spatial_mesh", None)
+            n_sh = mesh.devices.size if mesh is not None else 1
+            if getattr(self.cfg, "use_pallas", "auto") == "shard_map" \
+                    and mesh is not None \
+                    and feats_in.shape[1] % n_sh == 0 \
+                    and nbr.idx.shape[1] % n_sh == 0:
+                # point-sharded spatial forward: a pallas_call is opaque to
+                # GSPMD, so route through the shard_map wrapper that makes
+                # the support all-gather explicit (parallel/spatial.py)
+                from ..parallel.spatial import kpconv_aggregate_sharded
+                out = kpconv_aggregate_sharded(
+                    mesh, self.cfg.spatial_axis, feats_in, nbr.idx,
+                    nbr.rel_xyz, fmask, kpoints, kernel_weights,
+                    float(extent), pg.KP_influence, interpret)
+            else:
+                out = kpconv_aggregate(feats_in, nbr.idx, nbr.rel_xyz,
+                                       fmask, kpoints, kernel_weights,
+                                       float(extent), pg.KP_influence,
+                                       interpret)
         else:
             grouped = group_features(support_features, nbr.idx)  # (B,M,K,C)
             # jnp oracle path: influence weights (B, M, K, K_kp) then

@@ -26,10 +26,15 @@ halo exchange:
   well under ICI budgets — while the O(N*K*C*P) aggregation FLOPs and the
   O(N * N_i) distance tiles stay sharded.
 
-The spatial path forces ``use_pallas=False``: the pure-XLA aggregation is
-partitionable by GSPMD, while a ``pallas_call`` would be an opaque unit XLA
-must replicate or gather around.  (A shard_map-per-device Pallas variant is
-the natural next optimization; the numerics here are identical either way.)
+The aggregation has two spatial modes (``build_spatial_model(pallas=...)``):
+
+* ``False`` — pure-XLA aggregation, partitionable by GSPMD (the oracle);
+* ``"shard_map"`` — the fused Pallas KPConv kernel per device via
+  :func:`kpconv_aggregate_sharded`: a ``pallas_call`` is an opaque unit to
+  GSPMD, so the wrapper makes the collective explicit — all-gather the
+  support features over the point axis inside ``shard_map`` (exactly the
+  collective GSPMD inserts around the XLA gather) and run the kernel on the
+  local query shard.  Numerics are identical either way.
 
 Sharded and unsharded forwards are bit-comparable because every op is a
 static-shape gather/matmul — ``tests/test_spatial.py`` pins equality on an
@@ -86,12 +91,54 @@ def point_sharded_pyramid(mesh: Mesh, axis: str = DATA_AXIS
     return hook
 
 
-def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression"):
+def kpconv_aggregate_sharded(mesh: Mesh, axis: str, features, idx, rel,
+                             mask, kpoints, kernel_weights, extent: float,
+                             influence: str = "linear",
+                             interpret: bool = False):
+    """Fused Pallas KPConv over a point-sharded cloud via shard_map.
+
+    ``pallas_call`` is opaque to GSPMD, so the collective structure the
+    partitioner would derive for the XLA path is written out explicitly:
+    all-gather the (B, N_shard, C) support features over the point axis
+    (one (N, C) all-gather per level — the same transfer GSPMD inserts for
+    the neighbor gather), then run the fused kernel on the device-local
+    (B, M/n, K) query shard against the full support set.  idx values are
+    global support indices, so no index remapping is needed.
+
+    Differentiable: shard_map transposes the tiled all-gather into a
+    reduce-scatter of the kernel's d_features, and ``kpconv_aggregate``
+    carries its own Pallas backward.
+    """
+    from ..ops.pallas_kpconv import kpconv_aggregate
+
+    def local(feats, idx_, rel_, msk, kp, kw):
+        full = jax.lax.all_gather(feats, axis, axis=1, tiled=True)
+        return kpconv_aggregate(full, idx_, rel_, msk, kp, kw, extent,
+                                influence, interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None),
+                  P(None, axis, None, None), P(None, axis, None),
+                  P(), P()),
+        out_specs=P(None, axis, None),
+        # pallas_call emits ShapeDtypeStructs without vma annotations, so
+        # the varying-across-mesh check cannot see through it
+        check_vma=False,
+    )(features, idx, rel, mask, kpoints, kernel_weights)
+
+
+def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression",
+                        pallas: object = "auto"):
     """Build a task model whose geometry pyramid carries point-axis sharding
     constraints.  Parameters are identical to the unhooked model — a
     checkpoint trained patch-wise loads directly into the spatial forward.
 
     kind: 'offset_regression' | 'complete_denoising' | 'scene_segmentation'.
+    pallas: False -> pure-XLA GSPMD aggregation (the oracle);
+            "shard_map" -> fused Pallas kernel per device
+            (:func:`kpconv_aggregate_sharded`);
+            "auto" -> shard_map on TPU, XLA on CPU.
     """
     from ..models.build import (
         CompleteDenoisingModel,
@@ -104,7 +151,14 @@ def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression"):
         "scene_segmentation": SceneSegmentationModel,
     }[kind]
     cfg = copy.deepcopy(cfg)
-    cfg.use_pallas = False  # GSPMD-partitionable XLA path (see module doc)
+    if pallas == "auto":
+        pallas = "shard_map" if jax.default_backend() == "tpu" else False
+    if pallas == "shard_map":
+        cfg.use_pallas = "shard_map"
+        cfg.spatial_mesh = mesh  # set AFTER the deepcopy (meshes are not
+        cfg.spatial_axis = DATA_AXIS  # deep-copyable config material)
+    else:
+        cfg.use_pallas = False  # GSPMD-partitionable XLA path
     return cls(cfg=cfg, pyramid_hook=point_sharded_pyramid(mesh))
 
 

@@ -122,8 +122,11 @@ def test_spatial_training_matches_single_device(rng):
 
     xyz, mask = make_cloud(rng, B=2)
     offs = rng.normal(size=xyz.shape).astype(np.float32) * 0.02
+    # cloud_ind is a rank-1 leaf like real BatchLoader batches carry — the
+    # spatial P(None, data) spec must not be applied to it (per-leaf
+    # shardings replicate rank<2 leaves)
     batch = {"points": xyz, "mask": mask, "features": xyz.copy(),
-             "offsets": offs}
+             "offsets": offs, "cloud_ind": np.arange(2, dtype=np.int32)}
 
     plain, loss_fn = build_offset_regression(cfg)
     spatial = build_spatial_model(cfg, make_mesh(8))
@@ -144,6 +147,50 @@ def test_spatial_training_matches_single_device(rng):
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=6.0 * lr)
+
+
+def test_spatial_shard_map_pallas_matches_xla(rng):
+    """The shard_map-per-device Pallas aggregation (VERDICT #5) must match
+    the GSPMD XLA oracle and the unsharded forward — interpret-mode kernel
+    on the 8-device CPU mesh, the real kernel on TPU."""
+    cfg = giant_cloud_cfg()
+    xyz, mask = make_cloud(rng)
+    model, _ = build_offset_regression(cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    want = np.asarray(model.apply(variables, xyz, mask, xyz, train=False))
+
+    mesh = make_mesh(8)
+    spatial = build_spatial_model(cfg, mesh, pallas="shard_map")
+    got = np.asarray(spatial.apply(variables, xyz, mask, xyz, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_spatial_shard_map_pallas_gradients(rng):
+    """The shard_map wrapper must be differentiable: the tiled all-gather
+    transposes into a reduce-scatter of the Pallas backward's d_features,
+    so parameter gradients must match the unsharded model's."""
+    cfg = giant_cloud_cfg()
+    xyz, mask = make_cloud(rng)
+    model, _ = build_offset_regression(cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    spatial = build_spatial_model(cfg, make_mesh(8), pallas="shard_map")
+
+    def loss(m):
+        def f(params):
+            out = m.apply({"params": params,
+                           "batch_stats": variables.get("batch_stats", {})},
+                          xyz, mask, xyz, train=False)
+            return jnp.sum(out * out)
+        return f
+
+    g_plain = jax.grad(loss(model))(variables["params"])
+    g_shard = jax.grad(loss(spatial))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_shard)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_spatial_forward_uneven_shards(rng):
