@@ -305,11 +305,12 @@ class OffsetDataset:
             + self.center_noise[index].astype(np.float32)
         # sorted-by-distance radius query (:630-633), retry doubled
         # (:640-652); sorting happens inside the native index
-        index = self.indexes[cloud_ind]
-        query_inds, total = index.query_radius_sorted(pick[0], self.in_radius)
+        spatial_index = self.indexes[cloud_ind]
+        query_inds, total = spatial_index.query_radius_sorted(
+            pick[0], self.in_radius)
         if total == 0:
-            query_inds, _ = index.query_radius_sorted(pick[0],
-                                                      2 * self.in_radius)
+            query_inds, _ = spatial_index.query_radius_sorted(
+                pick[0], 2 * self.in_radius)
         query_inds = query_inds.astype(np.int64)
         cur = len(query_inds)
 

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="inference_out")
     p.add_argument("--full_cleaning", action="store_true")
+    p.add_argument("--pcn", action="store_true",
+                   help="PointCleanNet-baseline inference: one patch per "
+                        "cloud point, the ResPCPNet predicts the center "
+                        "offset only (qualitative_inference_test.py:353-403)")
     p.add_argument("--spatial", action="store_true",
                    help="denoise each full cloud in one forward with the "
                         "point axis sharded over the device mesh "
@@ -46,12 +50,23 @@ def main():
                         "first rotate patches by a random z-angle, predict, "
                         "and rotate the offsets back before vote-averaging")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--noise_level", type=float, default=None,
+                   help="override the eval noise sigma (fraction of the "
+                        "bbox diagonal) — the report evaluates every loss "
+                        "at sigma=0.5%% AND 0.1%% (report.pdf section 5.2)")
+    p.add_argument("--noise_type", type=str, default=None,
+                   help="override the eval noise type (e.g. gaussian for "
+                        "a diverse-trained checkpoint)")
     args = p.parse_args()
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     cfg = load_config(args.config_file)
     cfg.data_root = args.data_root
+    if args.noise_level is not None:
+        cfg.noise_level = args.noise_level
+    if args.noise_type is not None:
+        cfg.noise_type = args.noise_type
 
     dataset = OffsetDataset(
         cfg.data_root, "qualitative_test", in_radius=cfg.in_radius,
@@ -60,7 +75,11 @@ def main():
         num_points_per_shape=cfg.num_points_per_shape,
         outlier_proportion=cfg.outlier_percentage,
         fourier_features=bool(cfg.fourier_features),
+        architecture="PCN" if args.pcn else "U-Net",
         sample_dl_patches=cfg.sample_Dl_patches, seed=cfg.rng_seed)
+
+    if args.pcn:
+        return run_pcn(args, cfg, dataset)
 
     build = build_complete_denoising if args.full_cleaning \
         else build_offset_regression
@@ -94,6 +113,48 @@ def main():
                                      batch_size=cfg.batch_size,
                                      num_votes=args.num_votes)
 
+    write_results(args, dataset, results)
+
+
+def run_pcn(args, cfg, dataset):
+    """ResPCPNet per-point denoising: jitted forward with the checkpoint
+    weights as an argument (weight-independent executable), STN rotation
+    applied on device (train/pcn.py PCNTrainer.predict)."""
+    import jax.numpy as jnp
+
+    from deep3dpointclouddenoising_tpu.infer import denoise_clouds_pcn
+    from deep3dpointclouddenoising_tpu.models import \
+        build_offset_regression_PCN
+
+    model, _ = build_offset_regression_PCN(cfg)
+    state = load_checkpoint(args.checkpoint)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    variables = jax.device_put(variables)
+    scale = float(cfg.in_radius) if cfg.loss != "L1" else 1.0
+
+    @jax.jit
+    def fwd(variables, points):
+        pred, trans, _ = model.apply(variables, points, train=False)
+        return jnp.einsum("bd,bed->be", pred, trans)
+
+    batch = int(cfg.batch_size)
+
+    def predict(points):
+        # pad ragged final batches so every call hits one executable
+        points = np.asarray(points, np.float32)
+        b = len(points)
+        if b < batch:
+            pad = np.zeros((batch - b,) + points.shape[1:], np.float32)
+            points = np.concatenate([points, pad])
+        pts = points / scale if scale != 1.0 else points
+        return np.asarray(fwd(variables, pts))[:b] * scale
+
+    results = denoise_clouds_pcn(predict, dataset, batch_size=batch)
+    write_results(args, dataset, results)
+
+
+def write_results(args, dataset, results):
     for sub in ("noisy", "denoised", "clean"):
         os.makedirs(os.path.join(args.out_dir, sub), exist_ok=True)
     for name, res in zip(dataset.cloud_names, results):
