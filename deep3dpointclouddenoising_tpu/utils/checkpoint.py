@@ -40,6 +40,20 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     return ckpt.restore(path)
 
 
+def load_weights(path: str, state: Any) -> Any:
+    """Restore MODEL weights (params + batch stats) into ``state``, keeping
+    its optimizer state and step.
+
+    The cross-trainer load: e.g. GAN fine-tuning starts from an
+    adam-trained offset checkpoint but optimizes with its own sgd
+    (train_dist_GAN.py:404-415 loads per-block model weights only) — a
+    full-state restore would fail on the optimizer-tree mismatch.
+    """
+    raw = load_checkpoint(path)
+    return state.replace(params=raw["params"],
+                         batch_stats=raw.get("batch_stats", {}))
+
+
 def latest_epoch_checkpoint(log_dir: str) -> Optional[str]:
     if not os.path.isdir(log_dir):
         return None

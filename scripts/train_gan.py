@@ -36,7 +36,7 @@ def main():
         build_discriminator, build_offset_regression)
     from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
     from deep3dpointclouddenoising_tpu.utils.checkpoint import (
-        load_checkpoint, save_checkpoint)
+        load_weights, save_checkpoint)
     from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
 
     transforms = build_train_transforms(cfg)
@@ -61,10 +61,11 @@ def main():
     example = next(iter(train_loader.epoch_iter(0)))
     gen_state, disc_state = trainer.init_states(rng, example)
     if args.load_path_generator:
-        gen_state = load_checkpoint(args.load_path_generator, gen_state)
+        gen_state = load_weights(args.load_path_generator, gen_state)
         logger.info(f"generator resumed from {args.load_path_generator}")
     if args.load_path_discriminator:
-        disc_state = load_checkpoint(args.load_path_discriminator, disc_state)
+        disc_state = load_weights(args.load_path_discriminator,
+                                  disc_state)
         logger.info(
             f"discriminator resumed from {args.load_path_discriminator}")
 
