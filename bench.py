@@ -114,6 +114,16 @@ def measure_all(batch: int = BATCH) -> dict:
     out.block_until_ready()
     dt_pipelined = time.perf_counter() - t0
 
+    # analyzed FLOPs of the compiled forward → achieved FLOP/s and MFU
+    # (the reference publishes no utilization figure at all)
+    try:
+        an = forward.lower(v, *args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        fwd_flops = float(an["flops"])
+    except Exception:
+        fwd_flops = float("nan")
+
     # synced: one sync per call — includes the relay round-trip on the
     # tunneled backend, so this is a HOST-observed latency, not device time
     lat = []
@@ -137,8 +147,19 @@ def measure_all(batch: int = BATCH) -> dict:
     dt_train = time.perf_counter() - t0
 
     pts = batch * int(cfg.num_points)
+    have_flops = fwd_flops == fwd_flops  # cost_analysis can fail → NaN
+    achieved = fwd_flops * ITERS / dt_pipelined  # FLOP/s
+    kind = jax.devices()[0].device_kind.lower()
+    # documented bf16 MXU peaks per chip; f32 math runs at half of these
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+             "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12}
+    peak = next((p for k, p in peaks.items() if k in kind), None)
     return {
         "forward_pipelined_pps": pts * ITERS / dt_pipelined,
+        "forward_gflops_per_call": fwd_flops / 1e9 if have_flops else None,
+        "achieved_tflops_per_s": achieved / 1e12 if have_flops else None,
+        "mfu_pct_bf16_peak": (100 * achieved / peak)
+        if (peak and have_flops) else None,
         "forward_synced_ms": 1e3 * statistics.median(lat),
         "forward_synced_ms_min": 1e3 * min(lat),
         "train_step_pipelined_pps": pts * TRAIN_ITERS / dt_train,

@@ -24,7 +24,15 @@ def save_checkpoint(log_dir: str, epoch: int, state: Any,
                     save_freq: int = 10) -> None:
     ckpt = _checkpointer()
     state = jax.device_get(state)
-    current = os.path.join(os.path.abspath(log_dir), "current")
+    log_dir = os.path.abspath(log_dir)
+    # a SIGKILL mid-save (supervisor stall-kill) leaves an
+    # *.orbax-checkpoint-tmp dir that a later save may refuse to overwrite —
+    # clear stale ones before writing
+    import shutil
+    for name in os.listdir(log_dir):
+        if name.endswith(".orbax-checkpoint-tmp"):
+            shutil.rmtree(os.path.join(log_dir, name), ignore_errors=True)
+    current = os.path.join(log_dir, "current")
     ckpt.save(current, state, force=True)
     if save_freq and epoch % save_freq == 0:
         ckpt.save(os.path.join(os.path.abspath(log_dir),
@@ -59,7 +67,8 @@ def latest_epoch_checkpoint(log_dir: str) -> Optional[str]:
         return None
     best, best_ep = None, -1
     for name in os.listdir(log_dir):
-        if name.startswith("ckpt_epoch_"):
+        if name.startswith("ckpt_epoch_") and \
+                not name.endswith(".orbax-checkpoint-tmp"):
             ep = int(name.split("_")[-1])
             if ep > best_ep:
                 best, best_ep = os.path.join(log_dir, name), ep

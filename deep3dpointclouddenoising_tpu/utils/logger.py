@@ -36,20 +36,35 @@ def setup_logger(output: str | None = None, distributed_rank: int = 0,
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar log (the TensorBoard-SummaryWriter
-    equivalent of /root/reference/u_net_arch/train_dist.py:390-393,411-420;
-    JSONL keeps the framework dependency-free and machine-readable)."""
+    """Scalar log: append-only JSONL always, plus TensorBoard event files
+    when the `tensorboard` package is importable (the SummaryWriter of
+    /root/reference/u_net_arch/train_dist.py:390-393,411-420 writes under
+    TENSORBOARD_SUMMARIES/; here events live under <log_dir>/tb/).  JSONL
+    stays the source of truth — `scripts/plot_metrics.py` reads it — and TB
+    is best-effort so the framework has no hard dependency on it."""
 
-    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, filename)
         self._f = open(self._path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception:
+                self._tb = None
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         import json
         self._f.write(json.dumps(
             {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
         self._f.close()

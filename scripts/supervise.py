@@ -31,8 +31,11 @@ def parse_args():
     p = argparse.ArgumentParser("training-run supervisor")
     p.add_argument("--log_file", required=True,
                    help="file whose mtime indicates liveness")
-    p.add_argument("--stall_timeout", type=float, default=600.0,
-                   help="seconds without log progress before kill+relaunch")
+    p.add_argument("--stall_timeout", type=float, default=900.0,
+                   help="seconds without log progress before kill+relaunch "
+                   "(a cold remote compile can be silent for ~10 min — do "
+                   "not set this below that, or the supervisor will kill "
+                   "healthy startups in a loop)")
     p.add_argument("--poll", type=float, default=15.0)
     p.add_argument("--max_restarts", type=int, default=10)
     argv = sys.argv[1:]

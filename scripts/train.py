@@ -31,7 +31,7 @@ from deep3dpointclouddenoising_tpu.data.transforms import \
 from deep3dpointclouddenoising_tpu.models import build_offset_regression
 from deep3dpointclouddenoising_tpu.train import Trainer
 from deep3dpointclouddenoising_tpu.utils.checkpoint import (
-    load_checkpoint, save_checkpoint)
+    latest_epoch_checkpoint, load_checkpoint, save_checkpoint)
 from deep3dpointclouddenoising_tpu.utils.compile_cache import \
     enable_persistent_cache
 from deep3dpointclouddenoising_tpu.utils.logger import (
@@ -115,17 +115,28 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
+    # liveness breadcrumbs: init + the first jitted step can take minutes on
+    # a cold remote compile cache, and the supervisor watches this log's
+    # mtime — stay audibly alive through the silent startup phase
+    logger.info("initializing train state (first device dispatch)...")
     state = trainer.init_state(rng, example)
+    logger.info("train state initialized; compiling the train step...")
 
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")
     elif args.auto_resume:
+        # prefer `current` (every epoch), fall back to the newest
+        # ckpt_epoch_N — a kill can interrupt the `current` save itself
+        # (leaving only an .orbax-checkpoint-tmp), and losing the periodic
+        # checkpoint too would defeat the supervisor's whole purpose
         current = os.path.join(cfg.log_dir, "current")
-        if os.path.isdir(current):
+        if not os.path.isdir(current):
+            current = latest_epoch_checkpoint(cfg.log_dir)
+        if current:
             state = load_checkpoint(current, state)
-            # ``current`` is written at every epoch end, so the restored
-            # step count is a whole number of epochs
+            # checkpoints are written at epoch end, so the restored step
+            # count is a whole number of epochs
             cfg.start_epoch = int(state.step) // len(train_loader) + 1
             logger.info(f"auto-resumed from {current} at step "
                         f"{int(state.step)} -> start_epoch "

@@ -67,3 +67,23 @@ def test_latest_epoch_checkpoint(trained_state, tmp_path):
     # epoch not on save_freq -> only "current" updated, latest unchanged
     save_checkpoint(str(tmp_path), epoch=21, state=state, save_freq=10)
     assert latest_epoch_checkpoint(str(tmp_path)).endswith("ckpt_epoch_20")
+
+
+def test_stale_orbax_tmp_dirs_are_ignored_and_cleared(trained_state,
+                                                      tmp_path):
+    """A SIGKILL mid-save (the supervisor's stall-kill) leaves an
+    *.orbax-checkpoint-tmp dir; resume discovery must skip it and the next
+    save must clear it rather than fail."""
+    trainer, state, _, _ = trained_state
+    save_checkpoint(str(tmp_path), epoch=10, state=state, save_freq=10)
+    # simulate interrupted saves of both `current` and a periodic ckpt
+    (tmp_path / "current.orbax-checkpoint-tmp").mkdir()
+    (tmp_path / "ckpt_epoch_20.orbax-checkpoint-tmp").mkdir()
+    latest = latest_epoch_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("ckpt_epoch_10")
+    save_checkpoint(str(tmp_path), epoch=11, state=state, save_freq=10)
+    leftovers = [n for n in tmp_path.iterdir()
+                 if n.name.endswith(".orbax-checkpoint-tmp")]
+    assert leftovers == []
+    restored = load_checkpoint(str(tmp_path / "current"), state)
+    assert int(restored.step) == int(state.step)
