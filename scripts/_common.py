@@ -37,7 +37,35 @@ def base_parser(name: str) -> argparse.ArgumentParser:
                    "the env-var JAX_PLATFORMS is overridden by the "
                    "container's TPU bootstrap, so this is applied as a "
                    "post-import config update)")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="restore the full train state from "
+                   "<log_dir>/current (fallback: the newest ckpt_epoch_N) "
+                   "and continue from the epoch after the last completed "
+                   "one — lets scripts/supervise.py relaunch a run that a "
+                   "backend hang killed without losing progress")
     return p
+
+
+def auto_resume_state(log_dir: str, state, steps_per_epoch: int, logger):
+    """Restore ``state`` from ``<log_dir>/current`` (or the newest periodic
+    ``ckpt_epoch_N`` if the ``current`` save itself was interrupted) and
+    derive the next epoch from the restored step counter.  Returns
+    ``(state, start_epoch)``; ``start_epoch`` is None when there is nothing
+    to resume from."""
+    from deep3dpointclouddenoising_tpu.utils.checkpoint import (
+        latest_epoch_checkpoint, load_checkpoint)
+    current = os.path.join(log_dir, "current")
+    if not os.path.isdir(current):
+        current = latest_epoch_checkpoint(log_dir)
+    if not current:
+        return state, None
+    state = load_checkpoint(current, state)
+    # checkpoints are written at epoch end → restored step count is a whole
+    # number of epochs
+    start_epoch = int(state.step) // steps_per_epoch + 1
+    logger.info(f"auto-resumed from {current} at step {int(state.step)} "
+                f"-> start_epoch {start_epoch}")
+    return state, start_epoch
 
 
 def setup(args):

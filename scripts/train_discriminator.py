@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import time
 
-from _common import base_parser, setup
+from _common import auto_resume_state, base_parser, setup
 
 
 def main():
@@ -58,6 +58,11 @@ def main():
     if cfg.load_path:
         disc_state = load_checkpoint(cfg.load_path, disc_state)
         logger.info(f"resumed from {cfg.load_path}")
+    elif args.auto_resume:
+        disc_state, start = auto_resume_state(cfg.log_dir, disc_state,
+                                              len(train_loader), logger)
+        if start is not None:
+            cfg.start_epoch = start
 
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()

@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import time
 
-from _common import base_parser, setup
+from _common import auto_resume_state, base_parser, setup
 
 
 def main():
@@ -60,14 +60,28 @@ def main():
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
     gen_state, disc_state = trainer.init_states(rng, example)
-    if args.load_path_generator:
-        gen_state = load_weights(args.load_path_generator, gen_state)
-        logger.info(f"generator resumed from {args.load_path_generator}")
-    if args.load_path_discriminator:
-        disc_state = load_weights(args.load_path_discriminator,
-                                  disc_state)
-        logger.info(
-            f"discriminator resumed from {args.load_path_discriminator}")
+    if args.auto_resume and os.path.isdir(
+            os.path.join(cfg.log_dir, "generator")):
+        # a prior (possibly killed) run of THIS experiment exists: restore
+        # both blocks' full states; --load_path_* below only seeds weights
+        gen_state, start = auto_resume_state(
+            os.path.join(cfg.log_dir, "generator"), gen_state,
+            len(train_loader), logger)
+        disc_state, _ = auto_resume_state(
+            os.path.join(cfg.log_dir, "discriminator"), disc_state,
+            len(train_loader), logger)
+        if start is not None:
+            cfg.start_epoch = start
+    else:
+        if args.load_path_generator:
+            gen_state = load_weights(args.load_path_generator, gen_state)
+            logger.info(
+                f"generator resumed from {args.load_path_generator}")
+        if args.load_path_discriminator:
+            disc_state = load_weights(args.load_path_discriminator,
+                                      disc_state)
+            logger.info(
+                f"discriminator resumed from {args.load_path_discriminator}")
 
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import time
 
-from _common import base_parser, setup
+from _common import auto_resume_state, base_parser, setup
 
 
 def main():
@@ -56,6 +56,11 @@ def main():
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path}")
+    elif args.auto_resume:
+        state, start = auto_resume_state(cfg.log_dir, state,
+                                         len(train_loader), logger)
+        if start is not None:
+            cfg.start_epoch = start
 
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
