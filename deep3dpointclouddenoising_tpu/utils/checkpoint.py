@@ -25,6 +25,7 @@ def save_checkpoint(log_dir: str, epoch: int, state: Any,
     ckpt = _checkpointer()
     state = jax.device_get(state)
     log_dir = os.path.abspath(log_dir)
+    os.makedirs(log_dir, exist_ok=True)  # e.g. the GAN's per-block subdirs
     # a SIGKILL mid-save (supervisor stall-kill) leaves an
     # *.orbax-checkpoint-tmp dir that a later save may refuse to overwrite —
     # clear stale ones before writing

@@ -69,6 +69,17 @@ def test_latest_epoch_checkpoint(trained_state, tmp_path):
     assert latest_epoch_checkpoint(str(tmp_path)).endswith("ckpt_epoch_20")
 
 
+def test_save_into_nonexistent_dir(trained_state, tmp_path):
+    """The GAN saves per-block checkpoints into <log_dir>/{generator,
+    discriminator} subdirs that nothing creates beforehand
+    (scripts/train_gan.py); save_checkpoint must create them."""
+    trainer, state, _, _ = trained_state
+    target = tmp_path / "generator"
+    save_checkpoint(str(target), epoch=1, state=state, save_freq=10)
+    restored = load_checkpoint(str(target / "current"), state)
+    assert int(restored.step) == int(state.step)
+
+
 def test_stale_orbax_tmp_dirs_are_ignored_and_cleared(trained_state,
                                                       tmp_path):
     """A SIGKILL mid-save (the supervisor's stall-kill) leaves an
