@@ -25,17 +25,19 @@ INK = "#3d3d3d"
 
 
 def load_metrics(path: str):
-    by_tag = collections.defaultdict(lambda: ([], []))
+    # last-wins per (tag, step): an --auto_resume relaunch re-runs the
+    # epoch that was in flight when the previous process was killed, so
+    # the JSONL can contain duplicate steps
+    by_tag = collections.defaultdict(dict)
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
             rec = json.loads(line)
-            xs, ys = by_tag[rec["tag"]]
-            xs.append(int(rec["step"]))
-            ys.append(float(rec["value"]))
-    return by_tag
+            by_tag[rec["tag"]][int(rec["step"])] = float(rec["value"])
+    return {tag: (sorted(d), [d[s] for s in sorted(d)])
+            for tag, d in by_tag.items()}
 
 
 def main():
