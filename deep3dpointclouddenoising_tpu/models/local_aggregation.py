@@ -124,11 +124,18 @@ class PseudoGrid(nn.Module):
             feats_in = support_features if dt is None \
                 else support_features.astype(dt)
             mesh = getattr(self.cfg, "spatial_mesh", None)
-            n_sh = mesh.devices.size if mesh is not None else 1
+            # divisibility is per mesh AXIS: the point axis shards over
+            # spatial_axis only (a 2-D data x points mesh shards the batch
+            # separately over spatial_batch_axis)
+            n_sh = mesh.shape[self.cfg.spatial_axis] if mesh is not None \
+                else 1
+            b_axis = getattr(self.cfg, "spatial_batch_axis", None)
+            n_b = mesh.shape[b_axis] if (mesh is not None and b_axis) else 1
             if getattr(self.cfg, "use_pallas", "auto") == "shard_map" \
                     and mesh is not None \
                     and feats_in.shape[1] % n_sh == 0 \
-                    and nbr.idx.shape[1] % n_sh == 0:
+                    and nbr.idx.shape[1] % n_sh == 0 \
+                    and feats_in.shape[0] % n_b == 0:
                 # point-sharded spatial forward: a pallas_call is opaque to
                 # GSPMD, so route through the shard_map wrapper that makes
                 # the support all-gather explicit (parallel/spatial.py)
@@ -136,7 +143,8 @@ class PseudoGrid(nn.Module):
                 out = kpconv_aggregate_sharded(
                     mesh, self.cfg.spatial_axis, feats_in, nbr.idx,
                     nbr.rel_xyz, fmask, kpoints, kernel_weights,
-                    float(extent), pg.KP_influence, interpret)
+                    float(extent), pg.KP_influence, interpret,
+                    batch_axis=b_axis)
             else:
                 out = kpconv_aggregate(feats_in, nbr.idx, nbr.rel_xyz,
                                        fmask, kpoints, kernel_weights,

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+POINTS_AXIS = "points"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -25,6 +26,18 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_points: int) -> Mesh:
+    """2-D mesh ``(data, points)``: batch data-parallel over ``data``,
+    each cloud's point axis spatially sharded over ``points``.  The
+    reference has nothing like this (its only axis is DDP data parallel);
+    on TPU the inner ``points`` axis should map to the faster ICI ring."""
+    devs = jax.devices()[:n_data * n_points]
+    assert len(devs) == n_data * n_points, (
+        f"need {n_data * n_points} devices, have {len(devs)}")
+    return Mesh(np.array(devs).reshape(n_data, n_points),
+                (DATA_AXIS, POINTS_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -57,7 +57,8 @@ def _c(x: jnp.ndarray, mesh: Mesh, spec: P) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def point_sharded_pyramid(mesh: Mesh, axis: str = DATA_AXIS
+def point_sharded_pyramid(mesh: Mesh, axis: str = DATA_AXIS,
+                          batch_axis: Optional[str] = None
                           ) -> Callable[[Pyramid], Pyramid]:
     """A ``pyramid_hook`` that shards every per-point axis over ``axis``.
 
@@ -65,26 +66,32 @@ def point_sharded_pyramid(mesh: Mesh, axis: str = DATA_AXIS
     level xyz ``(B, N_i, 3)`` / mask ``(B, N_i)``, neighborhood idx/mask
     ``(B, M, K)`` and rel_xyz ``(B, M, K, 3)``, upsample idx/mask
     ``(B, N_fine)``.
+
+    ``batch_axis`` additionally shards the leading batch dimension — the
+    2-D ``(data, points)`` mesh of :func:`..mesh.make_mesh_2d`, combining
+    data parallelism over clouds with spatial parallelism within each.
     """
+    ba = batch_axis
+
     def nbr_hook(nb: Optional[Neighborhood]) -> Optional[Neighborhood]:
         if nb is None:
             return None
         return Neighborhood(
-            idx=_c(nb.idx, mesh, P(None, axis, None)),
-            mask=_c(nb.mask, mesh, P(None, axis, None)),
-            rel_xyz=_c(nb.rel_xyz, mesh, P(None, axis, None, None)),
+            idx=_c(nb.idx, mesh, P(ba, axis, None)),
+            mask=_c(nb.mask, mesh, P(ba, axis, None)),
+            rel_xyz=_c(nb.rel_xyz, mesh, P(ba, axis, None, None)),
             radius=nb.radius)
 
     def hook(pyr: Pyramid) -> Pyramid:
         levels = tuple(
-            Level(xyz=_c(lv.xyz, mesh, P(None, axis, None)),
-                  mask=_c(lv.mask, mesh, P(None, axis)),
+            Level(xyz=_c(lv.xyz, mesh, P(ba, axis, None)),
+                  mask=_c(lv.mask, mesh, P(ba, axis)),
                   self_nbr=nbr_hook(lv.self_nbr))
             for lv in pyr.levels)
         transitions = tuple(
             Transition(pool_nbr=nbr_hook(tr.pool_nbr),
-                       up_idx=_c(tr.up_idx, mesh, P(None, axis)),
-                       up_mask=_c(tr.up_mask, mesh, P(None, axis)))
+                       up_idx=_c(tr.up_idx, mesh, P(ba, axis)),
+                       up_mask=_c(tr.up_mask, mesh, P(ba, axis)))
             for tr in pyr.transitions)
         return Pyramid(levels=levels, transitions=transitions)
 
@@ -94,7 +101,8 @@ def point_sharded_pyramid(mesh: Mesh, axis: str = DATA_AXIS
 def kpconv_aggregate_sharded(mesh: Mesh, axis: str, features, idx, rel,
                              mask, kpoints, kernel_weights, extent: float,
                              influence: str = "linear",
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             batch_axis: Optional[str] = None):
     """Fused Pallas KPConv over a point-sharded cloud via shard_map.
 
     ``pallas_call`` is opaque to GSPMD, so the collective structure the
@@ -116,12 +124,13 @@ def kpconv_aggregate_sharded(mesh: Mesh, axis: str, features, idx, rel,
         return kpconv_aggregate(full, idx_, rel_, msk, kp, kw, extent,
                                 influence, interpret)
 
+    ba = batch_axis
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None),
-                  P(None, axis, None, None), P(None, axis, None),
+        in_specs=(P(ba, axis, None), P(ba, axis, None),
+                  P(ba, axis, None, None), P(ba, axis, None),
                   P(), P()),
-        out_specs=P(None, axis, None),
+        out_specs=P(ba, axis, None),
         # pallas_call emits ShapeDtypeStructs without vma annotations, so
         # the varying-across-mesh check cannot see through it
         check_vma=False,
@@ -129,7 +138,8 @@ def kpconv_aggregate_sharded(mesh: Mesh, axis: str, features, idx, rel,
 
 
 def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression",
-                        pallas: object = "auto"):
+                        pallas: object = "auto", axis: str = DATA_AXIS,
+                        batch_axis: Optional[str] = None):
     """Build a task model whose geometry pyramid carries point-axis sharding
     constraints.  Parameters are identical to the unhooked model — a
     checkpoint trained patch-wise loads directly into the spatial forward.
@@ -139,6 +149,9 @@ def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression",
             "shard_map" -> fused Pallas kernel per device
             (:func:`kpconv_aggregate_sharded`);
             "auto" -> shard_map on TPU, XLA on CPU.
+    axis / batch_axis: mesh axis names for the point and (optional) batch
+    dimension — pass ``POINTS_AXIS`` / ``DATA_AXIS`` with a
+    :func:`..mesh.make_mesh_2d` mesh for combined DP x SP.
     """
     from ..models.build import (
         CompleteDenoisingModel,
@@ -156,14 +169,17 @@ def build_spatial_model(cfg, mesh: Mesh, kind: str = "offset_regression",
     if pallas == "shard_map":
         cfg.use_pallas = "shard_map"
         cfg.spatial_mesh = mesh  # set AFTER the deepcopy (meshes are not
-        cfg.spatial_axis = DATA_AXIS  # deep-copyable config material)
+        cfg.spatial_axis = axis  # deep-copyable config material)
+        cfg.spatial_batch_axis = batch_axis
     else:
         cfg.use_pallas = False  # GSPMD-partitionable XLA path
-    return cls(cfg=cfg, pyramid_hook=point_sharded_pyramid(mesh))
+    return cls(cfg=cfg,
+               pyramid_hook=point_sharded_pyramid(mesh, axis, batch_axis))
 
 
 def build_spatial_forward(cfg, mesh: Mesh, kind: str = "offset_regression",
-                          axis: str = DATA_AXIS):
+                          axis: str = DATA_AXIS,
+                          batch_axis: Optional[str] = None):
     """(model, jitted_forward): full-cloud inference with the point axis
     sharded over the mesh.
 
@@ -171,10 +187,13 @@ def build_spatial_forward(cfg, mesh: Mesh, kind: str = "offset_regression",
     inputs may live on host — they are placed with the point axis sharded.
     The output stays point-sharded so a caller can chain further sharded
     stages (e.g. the voting accumulator) before any host transfer.
+    With a 2-D ``(data, points)`` mesh, pass ``axis=POINTS_AXIS,
+    batch_axis=DATA_AXIS`` to also shard the cloud batch.
     """
-    model = build_spatial_model(cfg, mesh, kind)
-    pts_sh = NamedSharding(mesh, P(None, axis, None))
-    msk_sh = NamedSharding(mesh, P(None, axis))
+    model = build_spatial_model(cfg, mesh, kind, axis=axis,
+                                batch_axis=batch_axis)
+    pts_sh = NamedSharding(mesh, P(batch_axis, axis, None))
+    msk_sh = NamedSharding(mesh, P(batch_axis, axis))
 
     @jax.jit
     def _fwd(variables, points, mask, features):

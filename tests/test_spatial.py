@@ -8,7 +8,12 @@ import jax.numpy as jnp
 
 from deep3dpointclouddenoising_tpu.config import default_config
 from deep3dpointclouddenoising_tpu.models import build_offset_regression
-from deep3dpointclouddenoising_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from deep3dpointclouddenoising_tpu.parallel.mesh import (
+    DATA_AXIS,
+    POINTS_AXIS,
+    make_mesh,
+    make_mesh_2d,
+)
 from deep3dpointclouddenoising_tpu.parallel.spatial import (
     build_spatial_forward,
     build_spatial_model,
@@ -205,4 +210,46 @@ def test_spatial_forward_uneven_shards(rng):
     want = np.asarray(model.apply(variables, xyz, mask, xyz, train=False))
     _, fwd = build_spatial_forward(cfg, make_mesh(8))
     got = np.asarray(fwd(variables, xyz, mask, xyz))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_spatial_2d_mesh_dp_sp_matches_unsharded(rng):
+    """2-D (data, points) mesh: a BATCH of clouds data-parallel over
+    ``data`` with each cloud's point axis sharded over ``points`` — the
+    DP x SP combination the reference cannot express at all (its only
+    axis is DDP data parallel, train_dist.py:375)."""
+    cfg = giant_cloud_cfg()
+    B = 4
+    xyz, mask = make_cloud(rng, B=B)
+
+    model, _ = build_offset_regression(cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    want = np.asarray(model.apply(variables, xyz, mask, xyz, train=False))
+
+    mesh = make_mesh_2d(2, 4)     # 8 CPU devices -> 2 data x 4 points
+    _, fwd = build_spatial_forward(cfg, mesh, axis=POINTS_AXIS,
+                                   batch_axis=DATA_AXIS)
+    got = fwd(variables, xyz, mask, xyz)
+    spec = tuple(got.sharding.spec)
+    assert DATA_AXIS in spec and POINTS_AXIS in spec, spec
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-6)
+
+
+def test_spatial_2d_mesh_shard_map_pallas(rng):
+    """The fused-Pallas shard_map aggregation on the 2-D mesh (interpret
+    mode on CPU) matches the XLA path."""
+    cfg = giant_cloud_cfg()
+    B = 2
+    xyz, mask = make_cloud(rng, B=B)
+    model, _ = build_offset_regression(cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, xyz,
+                           train=False)
+    want = np.asarray(model.apply(variables, xyz, mask, xyz, train=False))
+
+    mesh = make_mesh_2d(2, 4)
+    sp_model = build_spatial_model(cfg, mesh, pallas="shard_map",
+                                   axis=POINTS_AXIS, batch_axis=DATA_AXIS)
+    got = np.asarray(sp_model.apply(variables, xyz, mask, xyz,
+                                    train=False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
