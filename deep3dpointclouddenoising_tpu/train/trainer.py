@@ -93,19 +93,39 @@ class Trainer:
         training on giant clouds (pair with a model built by
         ``parallel.spatial.build_spatial_model`` so the geometry pyramid
         carries the matching sharding constraints).
+
+        ``spatial="2d"`` expects a 2-D ``(data, points)`` mesh
+        (``parallel.mesh.make_mesh_2d``): the batch axis shards over
+        ``data`` AND each cloud's point axis over ``points`` — combined
+        DP x SP training (pair with ``build_spatial_model(axis=POINTS_AXIS,
+        batch_axis=DATA_AXIS)``).  LR world-scaling follows the data axis
+        only, matching the reference's DDP scaling rule
+        (train_dist.py:358).
         """
+        from ..parallel.mesh import POINTS_AXIS
+
         self.cfg = cfg
         self.model = model
         self.loss_fn = loss_fn
         self.loss_mode = loss_mode
         self.mesh = mesh if mesh is not None else make_mesh()
         self._spatial = spatial
-        world = 1 if spatial else self.mesh.devices.size
+        if spatial == "2d":
+            world = self.mesh.shape[DATA_AXIS]
+            batch_spec = P(DATA_AXIS, POINTS_AXIS)
+            self._data_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._axis_sizes = (self.mesh.shape[DATA_AXIS],
+                                self.mesh.shape[POINTS_AXIS])
+        elif spatial:
+            world = 1
+            batch_spec = P(None, DATA_AXIS)
+        else:
+            world = self.mesh.devices.size
+            batch_spec = P(DATA_AXIS)
         self.tx, self.lr_schedule = make_optimizer(cfg, n_iter_per_epoch,
                                                    world_size=world)
         self._repl = NamedSharding(self.mesh, P())
-        self._batch_sh = NamedSharding(
-            self.mesh, P(None, DATA_AXIS) if spatial else P(DATA_AXIS))
+        self._batch_sh = NamedSharding(self.mesh, batch_spec)
         # batch shardings are per-leaf (shard_batch): a single pytree-prefix
         # sharding would reject rank-1 leaves like cloud_ind (B,) under the
         # spatial P(None, data) spec — so the jit inherits the batch
@@ -143,6 +163,14 @@ class Trainer:
         does not divide the mesh (ragged drop_last=False val batches) is
         replicated rather than rejected.
         """
+        if self._spatial == "2d":
+            n_d, n_p = self._axis_sizes
+            if len(shape) >= 2 and shape[0] % n_d == 0 \
+                    and shape[1] % n_p == 0:
+                return self._batch_sh
+            if len(shape) >= 1 and shape[0] % n_d == 0:
+                return self._data_sh  # rank-1 leaves (cloud_ind) ride DP
+            return self._repl
         n = self.mesh.devices.size
         axis = 1 if self._spatial else 0
         if len(shape) <= axis or shape[axis] % n != 0:

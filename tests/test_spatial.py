@@ -236,6 +236,43 @@ def test_spatial_2d_mesh_dp_sp_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-6)
 
 
+def test_spatial_2d_mesh_training_matches_single_device(rng):
+    """DP x SP TRAINING on the 2-D mesh: batch sharded over 'data', point
+    axis over 'points'; losses must track the single-device step."""
+    from deep3dpointclouddenoising_tpu.train import Trainer
+
+    cfg = giant_cloud_cfg()
+    cfg.optimizer = "adam"
+    cfg.base_learning_rate = 1e-3
+    cfg.lr_scheduler = "step"
+    cfg.warmup_epoch = -1
+    cfg.epochs = 10
+    cfg.batch_size = 4
+    cfg.weight_decay = 0.0
+
+    xyz, mask = make_cloud(rng, B=4)
+    offs = rng.normal(size=xyz.shape).astype(np.float32) * 0.02
+    batch = {"points": xyz, "mask": mask, "features": xyz.copy(),
+             "offsets": offs, "cloud_ind": np.arange(4, dtype=np.int32)}
+
+    plain, loss_fn = build_offset_regression(cfg)
+    mesh2 = make_mesh_2d(2, 4)
+    sp_model = build_spatial_model(cfg, mesh2, axis=POINTS_AXIS,
+                                   batch_axis=DATA_AXIS)
+    key = jax.random.PRNGKey(0)
+
+    t1 = Trainer(cfg, plain, loss_fn, 10, mesh=make_mesh(1))
+    t2d = Trainer(cfg, sp_model, loss_fn, 10, mesh=mesh2, spatial="2d")
+    s1 = t1.init_state(key, batch)
+    s2d = t2d.init_state(key, batch)
+
+    for i in range(3):
+        r = jax.random.PRNGKey(100 + i)
+        s1, l1 = t1.train_step(s1, batch, r)
+        s2d, l2 = t2d.train_step(s2d, batch, r)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-3)
+
+
 def test_spatial_2d_mesh_shard_map_pallas(rng):
     """The fused-Pallas shard_map aggregation on the 2-D mesh (interpret
     mode on CPU) matches the XLA path."""
