@@ -31,6 +31,7 @@ def main():
     from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
     from deep3dpointclouddenoising_tpu.utils.checkpoint import (
         load_checkpoint, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.logger import MetricsWriter
     from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
 
     common = dict(
@@ -55,6 +56,7 @@ def main():
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
     _, disc_state = trainer.init_states(rng, example)
+    writer = MetricsWriter(cfg.log_dir)
     if cfg.load_path:
         disc_state = load_checkpoint(cfg.load_path, disc_state)
         logger.info(f"resumed from {cfg.load_path}")
@@ -85,6 +87,7 @@ def main():
             meter.update(float(pl), n)
         pending.clear()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+        writer.add_scalar("train/loss", meter.avg, epoch)
 
         if epoch % cfg.val_freq == 0:
             acc = AverageMeter()
@@ -93,8 +96,10 @@ def main():
                                                            batch)),
                            len(batch["points"]))
             logger.info(f"val [{epoch}] accuracy {acc.avg:.4f}")
+            writer.add_scalar("val/accuracy", acc.avg, epoch)
         save_checkpoint(cfg.log_dir, epoch, disc_state,
                         save_freq=cfg.save_freq)
+    writer.close()
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ def main():
     from deep3dpointclouddenoising_tpu.train.gan import GANTrainer
     from deep3dpointclouddenoising_tpu.utils.checkpoint import (
         load_weights, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.logger import MetricsWriter
     from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
 
     transforms = build_train_transforms(cfg)
@@ -83,6 +84,7 @@ def main():
             logger.info(
                 f"discriminator resumed from {args.load_path_discriminator}")
 
+    writer = MetricsWriter(cfg.log_dir)
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meters = {k: AverageMeter() for k in
@@ -109,11 +111,14 @@ def main():
                 m.update(float(mt[k]), n)
         pending.clear()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+        for k, m in meters.items():
+            writer.add_scalar(f"train/{k}", m.avg, epoch)
         # per-block checkpoints (train_dist_GAN.py:291-303)
         save_checkpoint(os.path.join(cfg.log_dir, "generator"), epoch,
                         gen_state, save_freq=cfg.save_freq)
         save_checkpoint(os.path.join(cfg.log_dir, "discriminator"), epoch,
                         disc_state, save_freq=cfg.save_freq)
+    writer.close()
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ def main():
     from deep3dpointclouddenoising_tpu.train import Trainer
     from deep3dpointclouddenoising_tpu.utils.checkpoint import (
         load_checkpoint, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.logger import MetricsWriter
     from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
 
     transforms = build_train_transforms(cfg)
@@ -67,6 +68,7 @@ def main():
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path}")
 
+    writer = MetricsWriter(cfg.log_dir)
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter = AverageMeter()
@@ -88,6 +90,7 @@ def main():
             meter.update(float(pl), n)
         pending.clear()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+        writer.add_scalar("train/loss", meter.avg, epoch)
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()
@@ -98,7 +101,9 @@ def main():
             for vl, n in vpending:
                 vmeter.update(float(vl), n)
             logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
+            writer.add_scalar("val/loss", vmeter.avg, epoch)
         save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+    writer.close()
 
 
 if __name__ == "__main__":

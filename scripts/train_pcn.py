@@ -30,6 +30,7 @@ def main():
     from deep3dpointclouddenoising_tpu.train.pcn import PCNTrainer
     from deep3dpointclouddenoising_tpu.utils.checkpoint import (
         load_checkpoint, save_checkpoint)
+    from deep3dpointclouddenoising_tpu.utils.logger import MetricsWriter
     from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
 
     transforms = build_train_transforms(cfg)
@@ -53,6 +54,7 @@ def main():
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
     state = trainer.init_state(rng, example)
+    writer = MetricsWriter(cfg.log_dir)
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path}")
@@ -83,6 +85,7 @@ def main():
             meter.update(float(pl), n)
         pending.clear()
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
+        writer.add_scalar("train/loss", meter.avg, epoch)
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()
@@ -93,7 +96,9 @@ def main():
             for vl, n in vpending:
                 vmeter.update(float(vl), n)
             logger.info(f"val [{epoch}] loss {vmeter.avg:.6f}")
+            writer.add_scalar("val/loss", vmeter.avg, epoch)
         save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+    writer.close()
 
 
 if __name__ == "__main__":
