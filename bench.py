@@ -189,17 +189,30 @@ def _cpu_baseline_pps() -> float:
 
 def main():
     # The tunneled-TPU backend occasionally drops (UNAVAILABLE on init);
-    # retry a few times before giving up so a transient outage at
-    # round-end still produces a bench line.
+    # observed outages run 10-90 minutes, so retry with generous spacing —
+    # a bench line 20 minutes late beats a null result.  A hung init (the
+    # relay accepts nothing, the axon plugin retries forever) is bounded by
+    # running each attempt in a subprocess with a hard timeout.
     detail = None
     last_err = None
-    for attempt in range(3):
+    for attempt in range(5):
+        code = ("import bench, json;"
+                "print('BENCH_JSON ' + json.dumps(bench.measure_all()))")
         try:
-            detail = measure_all()
-            break
-        except Exception as e:  # backend init / compile relay errors
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                if line.startswith("BENCH_JSON "):
+                    detail = json.loads(line[len("BENCH_JSON "):])
+                    break
+            if detail is not None:
+                break
+            last_err = (out.stderr or out.stdout)[-300:]
+        except Exception as e:  # timeout / relay outage
             last_err = e
-            time.sleep(60 * attempt + 10)
+        time.sleep(120 * attempt + 30)
     if detail is None:
         print(json.dumps({
             "metric": "denoised_points_per_sec_chip",
