@@ -69,6 +69,34 @@ def test_latest_epoch_checkpoint(trained_state, tmp_path):
     assert latest_epoch_checkpoint(str(tmp_path)).endswith("ckpt_epoch_20")
 
 
+def test_auto_resume_state_helper(trained_state, tmp_path):
+    """scripts/_common.auto_resume_state: prefer `current`, fall back to
+    the newest periodic ckpt_epoch_N, derive start_epoch from the restored
+    step counter (steps are whole epochs at save time)."""
+    import logging
+    import shutil
+    import sys
+    sys.path.insert(0, "scripts")
+    from _common import auto_resume_state
+
+    trainer, state, batch, key = trained_state
+    log = logging.getLogger("test")
+
+    # nothing on disk -> unchanged state, start None
+    _, start = auto_resume_state(str(tmp_path), state, 4, log)
+    assert start is None
+
+    # state.step is 3 (fixture runs 3 steps); steps_per_epoch=3 -> epoch 1
+    save_checkpoint(str(tmp_path), epoch=1, state=state, save_freq=1)
+    restored, start = auto_resume_state(str(tmp_path), state, 3, log)
+    assert start == 2 and int(restored.step) == int(state.step)
+
+    # `current` gone (interrupted save) -> periodic checkpoint fallback
+    shutil.rmtree(str(tmp_path / "current"))
+    restored, start = auto_resume_state(str(tmp_path), state, 3, log)
+    assert start == 2 and int(restored.step) == int(state.step)
+
+
 def test_save_into_nonexistent_dir(trained_state, tmp_path):
     """The GAN saves per-block checkpoints into <log_dir>/{generator,
     discriminator} subdirs that nothing creates beforehand
