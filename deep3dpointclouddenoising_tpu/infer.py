@@ -14,6 +14,7 @@ drop predicted outliers from the denoised cloud.
 """
 from __future__ import annotations
 
+from collections import deque
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,28 @@ import jax.numpy as jnp
 
 from .data.loader import BatchLoader, collate
 from .data.offset_dataset import OffsetDataset
+
+
+def _drain_one(in_flight: deque, sums, counts, tanh_offsets: bool) -> None:
+    """Sync the OLDEST in-flight device prediction and scatter its votes.
+
+    ``rot`` is the per-patch rotation applied before prediction (None on
+    the un-augmented vote round); offset channels are rotated back with
+    the transpose before accumulation."""
+    dev_pred, batch, rot = in_flight.popleft()
+    pred = np.asarray(dev_pred)  # (B, N, num_outputs) — the only sync
+    if tanh_offsets:
+        pred = pred.copy()
+        pred[..., :3] = np.tanh(pred[..., :3])
+    if rot is not None:
+        pred = pred.copy()
+        pred[..., :3] = np.einsum("bni,bji->bnj", pred[..., :3], rot)
+    masks = batch["mask"] > 0
+    for b in range(pred.shape[0]):
+        ci = int(batch["cloud_ind"][b])
+        inds = batch["input_inds"][b][masks[b]]
+        sums[ci][inds] += pred[b][masks[b]]
+        counts[ci][inds] += 1.0
 
 
 def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
@@ -59,6 +82,7 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
 
     rng = np.random.default_rng(rng_seed)
     loader = BatchLoader(dataset, batch_size, drop_last=False)
+    in_flight: deque = deque()
     for vote in range(num_votes):
         for batch in loader.epoch_iter(0):
             if vote > 0:
@@ -92,20 +116,18 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
                         "non-Fourier features: cannot recompute features "
                         "for the rotated patch")
                 batch = dict(batch, points=pts, features=feats)
-            pred = np.asarray(predict_fn(batch))  # (B, N, num_outputs)
-            if tanh_offsets:
-                pred = pred.copy()
-                pred[..., :3] = np.tanh(pred[..., :3])
-            if vote > 0:
-                pred = pred.copy()
-                pred[..., :3] = np.einsum("bni,bji->bnj", pred[..., :3],
-                                          rot)
-            masks = batch["mask"] > 0
-            for b in range(pred.shape[0]):
-                ci = int(batch["cloud_ind"][b])
-                inds = batch["input_inds"][b][masks[b]]
-                sums[ci][inds] += pred[b][masks[b]]
-                counts[ci][inds] += 1.0
+            else:
+                rot = None
+            # pipelined dispatch: keep a small in-flight window of device
+            # predictions and sync LATE — a per-batch np.asarray would pay
+            # the tunneled backend's round-trip for every batch, serializing
+            # host batch prep with device compute (same pattern as the
+            # train loop's pending list, scripts/train.py)
+            in_flight.append((predict_fn(batch), batch, rot))
+            while len(in_flight) > 2:
+                _drain_one(in_flight, sums, counts, tanh_offsets)
+    while in_flight:
+        _drain_one(in_flight, sums, counts, tanh_offsets)
     out = []
     for s, c in zip(sums, counts):
         out.append((s / np.maximum(c, 1.0)).astype(np.float32))
@@ -181,12 +203,24 @@ def denoise_clouds_pcn(predict_fn, dataset: OffsetDataset,
     offsets = [np.zeros((len(s.points), 3), np.float32)
                for s in dataset.shapes]
     loader = BatchLoader(dataset, batch_size, drop_last=False)
-    for batch in loader.epoch_iter(0):
-        pred = np.asarray(predict_fn(batch["points"]))  # (B, 3)
+
+    def scatter(dev_pred, batch):
+        pred = np.asarray(dev_pred)  # (B, 3) — the only sync
         for b in range(len(pred)):
             ci = int(batch["cloud_ind"][b])
             center = int(batch["input_inds"][b][0])
             offsets[ci][center] = pred[b]
+
+    # one patch per cloud POINT -> ~140k dispatches per cloud at reference
+    # density; sync with a small lag so the relay round-trip overlaps the
+    # next batch's host prep instead of serializing with it
+    in_flight: deque = deque()
+    for batch in loader.epoch_iter(0):
+        in_flight.append((predict_fn(batch["points"]), batch))
+        while len(in_flight) > 2:
+            scatter(*in_flight.popleft())
+    while in_flight:
+        scatter(*in_flight.popleft())
     results = []
     for shape, off in zip(dataset.shapes, offsets):
         results.append({
