@@ -146,6 +146,19 @@ def measure_all(batch: int = BATCH) -> dict:
     jax.block_until_ready(loss)
     dt_train = time.perf_counter() - t0
 
+    # training steps via the scan-based chunked dispatch (S steps per jit
+    # call, one H2D per chunk — scripts/train.py's default path): the
+    # figure that bounds real training-loop wall time on the relay backend
+    S = 25
+    chunk = {k: np.stack([np.asarray(b[k])] * S) for k in b}
+    state, losses = trainer.train_chunk(state, chunk, rng)  # compile
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, losses = trainer.train_chunk(state, chunk, rng)
+    jax.block_until_ready(losses)
+    dt_chunk = time.perf_counter() - t0
+
     pts = batch * int(cfg.num_points)
     have_flops = fwd_flops == fwd_flops  # cost_analysis can fail → NaN
     achieved = fwd_flops * ITERS / dt_pipelined  # FLOP/s
@@ -164,6 +177,8 @@ def measure_all(batch: int = BATCH) -> dict:
         "forward_synced_ms_min": 1e3 * min(lat),
         "train_step_pipelined_pps": pts * TRAIN_ITERS / dt_train,
         "train_step_ms": 1e3 * dt_train / TRAIN_ITERS,
+        "train_chunk_pps": pts * 3 * S / dt_chunk,
+        "train_chunk_step_ms": 1e3 * dt_chunk / (3 * S),
         "batch": batch,
         "num_points": int(cfg.num_points),
     }

@@ -157,6 +157,13 @@ def default_config() -> Config:
     c.num_steps = 500
     # -- io / misc ----------------------------------------------------------
     c.load_path = ""
+    # steps fused into one device dispatch by the scan-based train path
+    # (Trainer.train_chunk): the epoch is sent chunk-by-chunk as stacked
+    # (S, B, ...) arrays — one H2D transfer + one lax.scan of S optimizer
+    # steps per dispatch, so a high-latency host<->device link (the
+    # tunneled-TPU relay) is paid once per S steps instead of per step.
+    # 0/1 disables chunking (reference-style per-step dispatch).
+    c.steps_per_dispatch = 25
     c.print_freq = 10
     c.save_freq = 10
     c.val_freq = 10

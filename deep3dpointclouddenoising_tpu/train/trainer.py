@@ -139,6 +139,15 @@ class Trainer:
             self._eval_step,
             in_shardings=(self._repl, None),
             out_shardings=self._repl)
+        # scan-based multi-step dispatch (train_chunk): one traced step body,
+        # S steps per device dispatch — a single H2D transfer of the stacked
+        # chunk replaces S per-step transfers (the hot fix for
+        # high-latency host<->device links; see RESULTS.md "host/link-bound")
+        self._jit_train_chunk = jax.jit(
+            self._scan_chunk,
+            in_shardings=(self._repl, None, None),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,))
 
     # -- init ---------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
@@ -183,6 +192,19 @@ class Trainer:
             lambda v: jax.device_put(v, self._leaf_sharding(jnp.shape(v))),
             batch)
 
+    def _chunk_leaf_sharding(self, shape: Tuple[int, ...]) -> NamedSharding:
+        """Sharding for a stacked (S, B, ...) chunk leaf: the step axis is
+        sequential (never sharded), the batch axis rides the data axis."""
+        n = self.mesh.devices.size
+        if len(shape) >= 2 and shape[1] % n == 0:
+            return NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return self._repl
+
+    def shard_chunk(self, chunk: Dict) -> Dict:
+        return jax.tree_util.tree_map(
+            lambda v: jax.device_put(
+                v, self._chunk_leaf_sharding(jnp.shape(v))), chunk)
+
     # -- steps --------------------------------------------------------------
     def _apply(self, params, batch_stats, batch, train: bool, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -221,6 +243,18 @@ class Trainer:
                                batch_stats=new_bs, opt_state=new_opt)
         return new_state, loss
 
+    def _scan_chunk(self, state: TrainState, chunk: Dict, rng
+                    ) -> Tuple[TrainState, jnp.ndarray]:
+        """Run S train steps from stacked (S, B, ...) batch arrays under one
+        jit: ``lax.scan`` traces the step body once, and per-step RNG folds
+        on the (traced) global step counter — identical streams to the
+        host loop's ``fold_in(rng, step)``."""
+        def body(st, batch):
+            step_rng = jax.random.fold_in(rng, st.step)
+            return self._train_step(st, batch, step_rng)
+
+        return jax.lax.scan(body, state, chunk)
+
     def _eval_step(self, state: TrainState, batch: Dict) -> jnp.ndarray:
         pred, _ = self._apply(state.params, state.batch_stats, batch, False,
                               None)
@@ -237,6 +271,23 @@ class Trainer:
     def train_step(self, state, batch, rng):
         batch = self.shard_batch(batch)
         return self._jit_train(state, batch, rng)
+
+    @property
+    def chunk_sharding(self):
+        """Per-chunk placement (see ``shard_chunk``) for device_prefetch."""
+        return self.shard_chunk
+
+    def train_chunk(self, state, chunk, rng):
+        """Run S optimizer steps in one dispatch from stacked (S, B, ...)
+        arrays; returns (state, losses[S]).  ``rng`` is the run's base key —
+        per-step keys fold on the global step counter, so chunked and
+        per-step training produce identical RNG streams.  Data-parallel
+        (non-spatial) meshes only."""
+        if self._spatial:
+            raise NotImplementedError(
+                "train_chunk supports the data-parallel path only")
+        chunk = self.shard_chunk(chunk)
+        return self._jit_train_chunk(state, chunk, rng)
 
     def eval_step(self, state, batch):
         batch = self.shard_batch(batch)

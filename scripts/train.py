@@ -144,6 +144,21 @@ def main():
 
     norm_factor = cfg.in_radius / 100.0
     writer = MetricsWriter(cfg.log_dir)
+    chunk_size = int(cfg.steps_per_dispatch or 0)
+
+    def chunk_iter(it_, size):
+        """Stack `size` consecutive batches into (S, B, ...) arrays for the
+        scan-based multi-step dispatch (one H2D transfer per S steps).  A
+        ragged final chunk yields with its smaller S (one extra compile for
+        that shape, cached persistently)."""
+        buf = []
+        for b in it_:
+            buf.append(b)
+            if len(buf) == size:
+                yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+                buf = []
+        if buf:
+            yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
 
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
@@ -162,27 +177,50 @@ def main():
         step_base = (epoch - 1) * len(train_loader)
         pending = []  # un-synced device loss scalars
         with device_trace(trace_dir):
-            batches = device_prefetch(_normed(train_loader.epoch_iter(
-                epoch - 1)), trainer.batch_sharding)
-            for it, batch in enumerate(batches):
-                # step counter tracked on host: reading state.step (and
-                # float(loss)) every iteration forces a device sync per
-                # step, serializing host batch prep with device compute
-                step_rng = jax.random.fold_in(rng, step_base + it)
-                state, loss = trainer.train_step(state, batch, step_rng)
-                pending.append((loss, len(batch["points"])))
-                batch_meter.update(time.time() - end)
-                end = time.time()
-                if it % cfg.print_freq == 0:
-                    jax.block_until_ready(loss)  # periodic sync point
-                    for pl, n in pending:
-                        meter.update(float(pl), n)
-                    pending.clear()
+            if chunk_size > 1:
+                # scan-based dispatch: S steps per jit call, batches stacked
+                # host-side and transferred once — per-step RNG folds on the
+                # global step counter inside the scan (identical streams to
+                # the per-step path below)
+                chunks = device_prefetch(
+                    chunk_iter(_normed(train_loader.epoch_iter(epoch - 1)),
+                               chunk_size), trainer.chunk_sharding)
+                it = 0
+                for chunk in chunks:
+                    s = int(chunk["points"].shape[0])
+                    state, losses = trainer.train_chunk(state, chunk, rng)
+                    it += s
+                    for lv in np.asarray(losses):  # syncs this chunk
+                        meter.update(float(lv), int(cfg.batch_size))
+                    batch_meter.update((time.time() - end) / s)
+                    end = time.time()
                     logger.info(
                         f"Train [{epoch}/{cfg.epochs}]"
                         f"[{it}/{len(train_loader)}] "
                         f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
                         f"loss {meter.val:.4f} ({meter.avg:.4f})")
+            else:
+                batches = device_prefetch(_normed(train_loader.epoch_iter(
+                    epoch - 1)), trainer.batch_sharding)
+                for it, batch in enumerate(batches):
+                    # step counter tracked on host: reading state.step (and
+                    # float(loss)) every iteration forces a device sync per
+                    # step, serializing host batch prep with device compute
+                    step_rng = jax.random.fold_in(rng, step_base + it)
+                    state, loss = trainer.train_step(state, batch, step_rng)
+                    pending.append((loss, len(batch["points"])))
+                    batch_meter.update(time.time() - end)
+                    end = time.time()
+                    if it % cfg.print_freq == 0:
+                        jax.block_until_ready(loss)  # periodic sync point
+                        for pl, n in pending:
+                            meter.update(float(pl), n)
+                        pending.clear()
+                        logger.info(
+                            f"Train [{epoch}/{cfg.epochs}]"
+                            f"[{it}/{len(train_loader)}] "
+                            f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
+                            f"loss {meter.val:.4f} ({meter.avg:.4f})")
             for pl, n in pending:
                 meter.update(float(pl), n)
             pending.clear()

@@ -144,6 +144,55 @@ def test_multidevice_sgd_gradients_exact(rng):
         np.testing.assert_allclose(g1, g8, atol=2e-5)
 
 
+def test_chunked_scan_matches_per_step(rng):
+    """Trainer.train_chunk (S steps per dispatch via lax.scan, the relay-
+    latency fix) must reproduce the per-step loop exactly: same RNG stream
+    (fold_in on the global step counter), same losses, same params."""
+    cfg = tiny_cfg()
+    model, loss_fn = build_offset_regression(cfg)
+    np_rng = np.random.default_rng(3)
+    batches = [make_batch(np_rng) for _ in range(6)]
+    key = jax.random.PRNGKey(0)
+    base = jax.random.PRNGKey(42)
+
+    t = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(1))
+    s_loop = t.init_state(key, batches[0])
+    loop_losses = []
+    for it, b in enumerate(batches):
+        s_loop, l = t.train_step(s_loop, b,
+                                 jax.random.fold_in(base, it))
+        loop_losses.append(float(l))
+
+    t2 = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(1))
+    s_chunk = t2.init_state(key, batches[0])
+    chunk_losses = []
+    for lo in (0, 3):  # two chunks of 3 steps
+        chunk = {k: np.stack([batches[i][k] for i in range(lo, lo + 3)])
+                 for k in batches[0]}
+        s_chunk, ls = t2.train_chunk(s_chunk, chunk, base)
+        chunk_losses.extend(float(x) for x in np.asarray(ls))
+
+    np.testing.assert_allclose(loop_losses, chunk_losses, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_loop.params),
+                    jax.tree_util.tree_leaves(s_chunk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_chunked_scan_multidevice(rng):
+    """The chunked dispatch composes with the 8-device data-parallel mesh."""
+    assert len(jax.devices()) >= 8
+    cfg = tiny_cfg()
+    model, loss_fn = build_offset_regression(cfg)
+    np_rng = np.random.default_rng(4)
+    batches = [make_batch(np_rng) for _ in range(2)]
+    t = Trainer(cfg, model, loss_fn, 10, mesh=make_mesh(8))
+    state = t.init_state(jax.random.PRNGKey(0), batches[0])
+    chunk = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    state, losses = t.train_chunk(state, chunk, jax.random.PRNGKey(42))
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(state.step) == 2
+
+
 def test_overfit_single_batch(rng):
     cfg = tiny_cfg()
     cfg.base_learning_rate = 3e-3
