@@ -81,6 +81,21 @@ class BatchLoader:
         return self.epoch_iter(getattr(self.dataset, "epoch", 0))
 
 
+def chunk_batches(iterator, size: int):
+    """Stack `size` consecutive batches into (S, B, ...) arrays for the
+    scan-based multi-step dispatch (Trainer.train_chunk): one H2D transfer
+    carries S steps of data.  A ragged final chunk yields with its smaller
+    S (one extra compile for that shape, cached persistently)."""
+    buf = []
+    for b in iterator:
+        buf.append(b)
+        if len(buf) == size:
+            yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+            buf = []
+    if buf:
+        yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+
+
 def device_prefetch(iterator, sharding=None, size: int = 2):
     """Overlap host->device copies with device compute (the TPU analogue of
     torch's pin_memory + non_blocking copies, train_dist.py:257,317-320).

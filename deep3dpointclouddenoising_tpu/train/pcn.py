@@ -49,6 +49,10 @@ class PCNTrainer:
                                                    world_size)
         self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(self._eval_step)
+        # scan-based multi-step dispatch, same contract as
+        # Trainer.train_chunk (one H2D transfer per S steps)
+        self._jit_train_chunk = jax.jit(self._scan_chunk,
+                                        donate_argnums=(0,))
 
     def init_state(self, rng, batch: Dict) -> TrainState:
         variables = self.model.init(
@@ -112,8 +116,21 @@ class PCNTrainer:
                                      False, None)
         return self._loss(pred, trans, points, offsets)
 
+    def _scan_chunk(self, state: TrainState, chunk: Dict, rng):
+        def body(st, batch):
+            return self._train_step(st, batch,
+                                    jax.random.fold_in(rng, st.step))
+
+        return jax.lax.scan(body, state, chunk)
+
     def train_step(self, state, batch, rng):
         return self._jit_train(state, batch, rng)
+
+    def train_chunk(self, state, chunk, rng):
+        """Run S optimizer steps in one dispatch from stacked (S, B, ...)
+        arrays; per-step RNG folds on the global step counter (identical
+        streams to the per-step loop).  Returns (state, losses[S])."""
+        return self._jit_train_chunk(state, chunk, rng)
 
     def eval_step(self, state, batch):
         return self._jit_eval(state, batch)

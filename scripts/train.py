@@ -23,8 +23,8 @@ import jax
 import numpy as np
 
 from deep3dpointclouddenoising_tpu.config import load_config
-from deep3dpointclouddenoising_tpu.data.loader import BatchLoader, \
-    device_prefetch
+from deep3dpointclouddenoising_tpu.data.loader import (
+    BatchLoader, chunk_batches, device_prefetch)
 from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
 from deep3dpointclouddenoising_tpu.data.transforms import \
     build_train_transforms
@@ -146,20 +146,6 @@ def main():
     writer = MetricsWriter(cfg.log_dir)
     chunk_size = int(cfg.steps_per_dispatch or 0)
 
-    def chunk_iter(it_, size):
-        """Stack `size` consecutive batches into (S, B, ...) arrays for the
-        scan-based multi-step dispatch (one H2D transfer per S steps).  A
-        ragged final chunk yields with its smaller S (one extra compile for
-        that shape, cached persistently)."""
-        buf = []
-        for b in it_:
-            buf.append(b)
-            if len(buf) == size:
-                yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
-                buf = []
-        if buf:
-            yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
-
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter, batch_meter = AverageMeter(), AverageMeter()
@@ -183,8 +169,8 @@ def main():
                 # global step counter inside the scan (identical streams to
                 # the per-step path below)
                 chunks = device_prefetch(
-                    chunk_iter(_normed(train_loader.epoch_iter(epoch - 1)),
-                               chunk_size), trainer.chunk_sharding)
+                    chunk_batches(_normed(train_loader.epoch_iter(epoch - 1)),
+                                  chunk_size), trainer.chunk_sharding)
                 it = 0
                 for chunk in chunks:
                     s = int(chunk["points"].shape[0])

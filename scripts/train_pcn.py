@@ -20,7 +20,8 @@ def main():
 
     import jax
 
-    from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+    from deep3dpointclouddenoising_tpu.data.loader import (
+        BatchLoader, chunk_batches, device_prefetch)
     from deep3dpointclouddenoising_tpu.data.offset_dataset import \
         OffsetDataset
     from deep3dpointclouddenoising_tpu.data.transforms import \
@@ -64,23 +65,40 @@ def main():
         if start is not None:
             cfg.start_epoch = start
 
+    import numpy as np
+
+    chunk_size = int(cfg.steps_per_dispatch or 0)
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter = AverageMeter()
         step_base = (epoch - 1) * len(train_loader)
         pending = []  # un-synced device losses (syncing per step serializes
         # host batch prep with device compute)
-        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            step_rng = jax.random.fold_in(rng, step_base + it)
-            state, loss = trainer.train_step(state, batch, step_rng)
-            pending.append((loss, len(batch["points"])))
-            if it % cfg.print_freq == 0:
-                for pl, n in pending:
-                    meter.update(float(pl), n)
-                pending.clear()
+        if chunk_size > 1:
+            # scan-based dispatch: S steps per jit call (see scripts/train.py)
+            it = 0
+            for chunk in device_prefetch(chunk_batches(
+                    train_loader.epoch_iter(epoch - 1), chunk_size)):
+                s = int(chunk["points"].shape[0])
+                state, losses = trainer.train_chunk(state, chunk, rng)
+                it += s
+                for lv in np.asarray(losses):
+                    meter.update(float(lv), int(cfg.batch_size))
                 logger.info(
                     f"PCN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
                     f"loss {meter.val:.6f} ({meter.avg:.6f})")
+        else:
+            for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+                step_rng = jax.random.fold_in(rng, step_base + it)
+                state, loss = trainer.train_step(state, batch, step_rng)
+                pending.append((loss, len(batch["points"])))
+                if it % cfg.print_freq == 0:
+                    for pl, n in pending:
+                        meter.update(float(pl), n)
+                    pending.clear()
+                    logger.info(
+                        f"PCN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}]"
+                        f" loss {meter.val:.6f} ({meter.avg:.6f})")
         for pl, n in pending:
             meter.update(float(pl), n)
         pending.clear()

@@ -82,3 +82,30 @@ def test_multiscale_pcpnet_forward():
         feat_params = jax.tree_util.tree_leaves(v["params"])
         assert any(p.ndim == 2 and p.shape[0] == 1024 * S * S
                    for p in feat_params)
+
+
+def test_pcn_chunked_scan_matches_per_step(rng):
+    """PCNTrainer.train_chunk must reproduce the per-step loop exactly
+    (same fold_in-on-global-step RNG stream, same losses and params)."""
+    cfg = tiny_cfg("L1")
+    model, _ = build_offset_regression_PCN(cfg)
+    batches = [make_batch(rng) for _ in range(4)]
+    base = jax.random.PRNGKey(7)
+
+    t1 = PCNTrainer(cfg, model, n_iter_per_epoch=10)
+    s1 = t1.init_state(jax.random.PRNGKey(0), batches[0])
+    loop_losses = []
+    for it, b in enumerate(batches):
+        s1, l = t1.train_step(s1, b, jax.random.fold_in(base, it))
+        loop_losses.append(float(l))
+
+    t2 = PCNTrainer(cfg, model, n_iter_per_epoch=10)
+    s2 = t2.init_state(jax.random.PRNGKey(0), batches[0])
+    chunk = {k: np.stack([np.asarray(b[k]) for b in batches])
+             for k in batches[0]}
+    s2, losses = t2.train_chunk(s2, chunk, base)
+
+    np.testing.assert_allclose(loop_losses, np.asarray(losses), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
