@@ -161,7 +161,17 @@ class PseudoGrid(nn.Module):
             if pg.KP_influence == "constant":
                 w = jnp.ones_like(sq)
             elif pg.KP_influence == "linear":
-                w = jnp.maximum(1.0 - jnp.sqrt(sq) / extent, 0.0)
+                # safe sqrt: sq is EXACTLY 0 where a neighbor coincides with
+                # a kernel point (the query point itself vs the fixed center
+                # kernel point), and sqrt'(0)=inf would poison gradients
+                # that flow through the geometry — which happens whenever
+                # the input points themselves carry gradients (GAN G-step:
+                # D(points + G(points)), train_dist_GAN.py:556-560; the
+                # reference's torch.sqrt has the same infinite-gradient
+                # hazard there).  Zero subgradient at coincidence instead.
+                d = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq,
+                                                           1.0)), 0.0)
+                w = jnp.maximum(1.0 - d / extent, 0.0)
             else:
                 sigma = extent * 0.3
                 w = jnp.exp(-sq / (2.0 * sigma * sigma + 1e-9))

@@ -46,7 +46,12 @@ def _influence_weights(sq: jnp.ndarray, extent: float,
     if influence == "constant":
         return jnp.ones_like(sq)
     if influence == "linear":
-        return jnp.maximum(1.0 - jnp.sqrt(sq) / extent, 0.0)
+        # where-guarded sqrt: sq==0 at neighbor/kernel-point coincidences
+        # and sqrt'(0)=inf would poison gradients flowing through the
+        # geometry (GAN G-step differentiates D's pyramid w.r.t. the
+        # generated points); forward value is unchanged
+        d = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
+        return jnp.maximum(1.0 - d / extent, 0.0)
     if influence == "gaussian":
         sigma = extent * 0.3
         return jnp.exp(-sq / (2.0 * sigma * sigma + 1e-9))

@@ -76,6 +76,21 @@ class GANTrainer:
             self._pretrain_accuracy,
             in_shardings=(self._repl, None),
             out_shardings=self._repl)
+        # scan-based multi-step dispatch (same contract as
+        # Trainer.train_chunk: stacked (S, B, ...) chunks, one H2D per S
+        # steps).  Per-step RNG folds on the DISCRIMINATOR step counter —
+        # it advances every update even when the generator is frozen, so it
+        # always equals the host loop's global step index.
+        self._jit_update_chunk = jax.jit(
+            self._scan_update,
+            in_shardings=(self._repl, self._repl, None, None),
+            out_shardings=(self._repl, self._repl, self._repl),
+            donate_argnums=(0, 1))
+        self._jit_pretrain_chunk = jax.jit(
+            self._scan_pretrain,
+            in_shardings=(self._repl, None, None),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,))
 
     def shard_batch(self, batch: Dict) -> Dict:
         """device_put each leaf batch-sharded (rank-0 leaves replicated).
@@ -197,6 +212,35 @@ class GANTrainer:
         return self._jit_update(gen_state, disc_state,
                                 self.shard_batch(batch), rng)
 
+    def _chunk_place(self, chunk: Dict) -> Dict:
+        """Stacked (S, B, ...) chunk placement: batch axis (axis 1) rides
+        the data axis, step axis stays sequential."""
+        n = self.mesh.devices.size
+        sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def _place(v):
+            ok = jnp.ndim(v) >= 2 and v.shape[1] % n == 0
+            return jax.device_put(v, sh if ok else self._repl)
+
+        return jax.tree_util.tree_map(_place, chunk)
+
+    def _scan_update(self, gen_state, disc_state, chunk, rng):
+        def body(carry, batch):
+            gs, ds = carry
+            step_rng = jax.random.fold_in(rng, ds.step)
+            gs, ds, metrics = self._update(gs, ds, batch, step_rng)
+            return (gs, ds), metrics
+
+        (gs, ds), metrics = jax.lax.scan(body, (gen_state, disc_state),
+                                         chunk)
+        return gs, ds, metrics
+
+    def update_chunk(self, gen_state, disc_state, chunk, rng):
+        """S GAN updates in one dispatch; returns (gen, disc, metrics) with
+        each metric stacked to (S,)."""
+        return self._jit_update_chunk(gen_state, disc_state,
+                                      self._chunk_place(chunk), rng)
+
     # -- discriminator pre-training ----------------------------------------
     def _pretrain_step(self, disc_state: TrainState, batch: Dict, rng):
         """Clean vs raw-noisy classification (train_discriminator.py:401-431)."""
@@ -222,6 +266,18 @@ class GANTrainer:
 
     def pretrain_step(self, disc_state, batch, rng):
         return self._jit_pretrain(disc_state, self.shard_batch(batch), rng)
+
+    def _scan_pretrain(self, disc_state, chunk, rng):
+        def body(st, batch):
+            return self._pretrain_step(st, batch,
+                                       jax.random.fold_in(rng, st.step))
+
+        return jax.lax.scan(body, disc_state, chunk)
+
+    def pretrain_chunk(self, disc_state, chunk, rng):
+        """S pre-training steps in one dispatch; returns (state, losses[S])."""
+        return self._jit_pretrain_chunk(disc_state, self._chunk_place(chunk),
+                                        rng)
 
     def _pretrain_accuracy(self, disc_state: TrainState, batch: Dict):
         b = batch["points"].shape[0]

@@ -92,3 +92,51 @@ def setup(args):
                 f"devices: {jax.device_count()}")
     logger.info(json.dumps({k: str(v) for k, v in cfg.items()}, indent=1))
     return cfg, logger
+
+
+def train_epoch(trainer, train_loader, state, rng, epoch, cfg, logger,
+                label="Train"):
+    """One training epoch over ``train_loader``; scan-based chunked dispatch
+    (S steps per jit call, one H2D transfer each — see Trainer.train_chunk)
+    when ``cfg.steps_per_dispatch > 1``, reference-style per-step dispatch
+    otherwise.  Returns (state, mean_loss)."""
+    import jax
+    import numpy as np
+
+    from deep3dpointclouddenoising_tpu.data.loader import (
+        chunk_batches, device_prefetch)
+    from deep3dpointclouddenoising_tpu.utils.metrics import AverageMeter
+
+    meter = AverageMeter()
+    n_iter = len(train_loader)
+    chunk_size = int(cfg.steps_per_dispatch or 0)
+    if chunk_size > 1 and hasattr(trainer, "train_chunk"):
+        it = 0
+        for chunk in device_prefetch(
+                chunk_batches(train_loader.epoch_iter(epoch - 1), chunk_size),
+                getattr(trainer, "chunk_sharding", None)):
+            s = int(chunk["points"].shape[0])
+            state, losses = trainer.train_chunk(state, chunk, rng)
+            it += s
+            for lv in np.asarray(losses):  # syncs this chunk
+                meter.update(float(lv), int(cfg.batch_size))
+            logger.info(f"{label} [{epoch}/{cfg.epochs}][{it}/{n_iter}] "
+                        f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        return state, meter.avg
+
+    step_base = (epoch - 1) * n_iter
+    pending = []  # un-synced device losses (syncing per step serializes
+    # host batch prep with device compute)
+    for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+        step_rng = jax.random.fold_in(rng, step_base + it)
+        state, loss = trainer.train_step(state, batch, step_rng)
+        pending.append((loss, len(batch["points"])))
+        if it % cfg.print_freq == 0:
+            for pl, n in pending:
+                meter.update(float(pl), n)
+            pending.clear()
+            logger.info(f"{label} [{epoch}/{cfg.epochs}][{it}/{n_iter}] "
+                        f"loss {meter.val:.4f} ({meter.avg:.4f})")
+    for pl, n in pending:
+        meter.update(float(pl), n)
+    return state, meter.avg

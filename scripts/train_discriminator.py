@@ -72,17 +72,38 @@ def main():
         step_base = (epoch - 1) * len(train_loader)
         pending = []  # un-synced device losses (syncing per step serializes
         # host batch prep with device compute)
-        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            step_rng = jax.random.fold_in(rng, step_base + it)
-            disc_state, loss = trainer.pretrain_step(disc_state, batch, step_rng)
-            pending.append((loss, len(batch["points"])))
-            if it % cfg.print_freq == 0:
-                for pl, n in pending:
-                    meter.update(float(pl), n)
-                pending.clear()
+        chunk_size = int(cfg.steps_per_dispatch or 0)
+        if chunk_size > 1:
+            # scan-based dispatch: S steps per jit call (see scripts/train.py)
+            import numpy as np
+
+            from deep3dpointclouddenoising_tpu.data.loader import (
+                chunk_batches, device_prefetch)
+            it = 0
+            for chunk in device_prefetch(chunk_batches(
+                    train_loader.epoch_iter(epoch - 1), chunk_size)):
+                s = int(chunk["points"].shape[0])
+                disc_state, losses = trainer.pretrain_chunk(disc_state,
+                                                            chunk, rng)
+                it += s
+                for lv in np.asarray(losses):
+                    meter.update(float(lv), int(cfg.batch_size))
                 logger.info(
                     f"D [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
                     f"loss {meter.val:.4f} ({meter.avg:.4f})")
+        else:
+            for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+                step_rng = jax.random.fold_in(rng, step_base + it)
+                disc_state, loss = trainer.pretrain_step(disc_state, batch,
+                                                         step_rng)
+                pending.append((loss, len(batch["points"])))
+                if it % cfg.print_freq == 0:
+                    for pl, n in pending:
+                        meter.update(float(pl), n)
+                    pending.clear()
+                    logger.info(
+                        f"D [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
+                        f"loss {meter.val:.4f} ({meter.avg:.4f})")
         for pl, n in pending:
             meter.update(float(pl), n)
         pending.clear()

@@ -26,8 +26,10 @@ def main():
     cfg, logger = setup(args)
 
     import jax
+    import numpy as np
 
-    from deep3dpointclouddenoising_tpu.data.loader import BatchLoader
+    from deep3dpointclouddenoising_tpu.data.loader import (
+        BatchLoader, chunk_batches, device_prefetch)
     from deep3dpointclouddenoising_tpu.data.offset_dataset import \
         OffsetDataset
     from deep3dpointclouddenoising_tpu.data.transforms import \
@@ -92,20 +94,42 @@ def main():
         step_base = (epoch - 1) * len(train_loader)
         pending = []  # un-synced device metrics (per-step float() reads
         # serialize host batch prep with device compute)
-        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            step_rng = jax.random.fold_in(rng, step_base + it
-                                          + 7919 * epoch)
-            gen_state, disc_state, metrics = trainer.update(
-                gen_state, disc_state, batch, step_rng)
-            pending.append((metrics, len(batch["points"])))
-            if it % cfg.print_freq == 0:
-                for mt, n in pending:
-                    for k, m in meters.items():
-                        m.update(float(mt[k]), n)
-                pending.clear()
+        chunk_size = int(cfg.steps_per_dispatch or 0)
+        if chunk_size > 1:
+            # scan-based dispatch (see scripts/train.py): per-step RNG folds
+            # on the disc step counter inside the scan, from an epoch-mixed
+            # base key (the per-step path mixes the epoch into the fold
+            # index instead — streams differ but stay decorrelated)
+            epoch_rng = jax.random.fold_in(rng, 7919 * epoch)
+            it = 0
+            for chunk in device_prefetch(chunk_batches(
+                    train_loader.epoch_iter(epoch - 1), chunk_size)):
+                s = int(chunk["points"].shape[0])
+                gen_state, disc_state, metrics = trainer.update_chunk(
+                    gen_state, disc_state, chunk, epoch_rng)
+                it += s
+                for k, m in meters.items():
+                    for v in np.asarray(metrics[k]):
+                        m.update(float(v), int(cfg.batch_size))
                 logger.info(
                     f"GAN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
                     + " ".join(f"{k} {m.avg:.4f}" for k, m in meters.items()))
+        else:
+            for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
+                step_rng = jax.random.fold_in(rng, step_base + it
+                                              + 7919 * epoch)
+                gen_state, disc_state, metrics = trainer.update(
+                    gen_state, disc_state, batch, step_rng)
+                pending.append((metrics, len(batch["points"])))
+                if it % cfg.print_freq == 0:
+                    for mt, n in pending:
+                        for k, m in meters.items():
+                            m.update(float(mt[k]), n)
+                    pending.clear()
+                    logger.info(
+                        f"GAN [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}]"
+                        " " + " ".join(f"{k} {m.avg:.4f}"
+                                       for k, m in meters.items()))
         for mt, n in pending:
             for k, m in meters.items():
                 m.update(float(mt[k]), n)

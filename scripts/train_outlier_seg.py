@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import time
 
-from _common import base_parser, setup
+from _common import base_parser, setup, train_epoch
 
 
 def main():
@@ -71,26 +71,10 @@ def main():
     writer = MetricsWriter(cfg.log_dir)
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
-        meter = AverageMeter()
-        step_base = (epoch - 1) * len(train_loader)
-        pending = []  # un-synced device losses (syncing per step serializes
-        # host batch prep with device compute)
-        for it, batch in enumerate(train_loader.epoch_iter(epoch - 1)):
-            step_rng = jax.random.fold_in(rng, step_base + it)
-            state, loss = trainer.train_step(state, batch, step_rng)
-            pending.append((loss, len(batch["points"])))
-            if it % cfg.print_freq == 0:
-                for pl, n in pending:
-                    meter.update(float(pl), n)
-                pending.clear()
-                logger.info(
-                    f"Seg [{epoch}/{cfg.epochs}][{it}/{len(train_loader)}] "
-                    f"loss {meter.val:.4f} ({meter.avg:.4f})")
-        for pl, n in pending:
-            meter.update(float(pl), n)
-        pending.clear()
+        state, train_loss = train_epoch(trainer, train_loader, state, rng,
+                                        epoch, cfg, logger, label="Seg")
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s")
-        writer.add_scalar("train/loss", meter.avg, epoch)
+        writer.add_scalar("train/loss", train_loss, epoch)
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()

@@ -125,3 +125,51 @@ def test_complete_denoising_losses(rng):
                                        jnp.asarray(labels),
                                        jnp.asarray(mask)))(jnp.asarray(raw))
         assert float(jnp.sum(jnp.abs(g))) > 0, name
+
+
+def test_gan_chunked_scan_matches_per_step(rng):
+    """update_chunk (S GAN updates per dispatch) must reproduce the
+    per-step update loop when the per-step loop folds RNG the same way
+    (on the discriminator's global step counter)."""
+    cfg = tiny_cfg()
+    gen, gen_loss = build_offset_regression(cfg)
+    disc, _ = build_discriminator(cfg)
+    batches = [make_batch(rng) for _ in range(3)]
+    base = jax.random.PRNGKey(11)
+
+    t1 = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                    mesh=make_mesh(1))
+    gs1, ds1 = t1.init_states(jax.random.PRNGKey(0), batches[0])
+    loop_errs = []
+    for it, b in enumerate(batches):
+        gs1, ds1, m = t1.update(gs1, ds1, b, jax.random.fold_in(base, it))
+        loop_errs.append(float(m["err_g"]))
+
+    t2 = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                    mesh=make_mesh(1))
+    gs2, ds2 = t2.init_states(jax.random.PRNGKey(0), batches[0])
+    chunk = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    gs2, ds2, metrics = t2.update_chunk(gs2, ds2, chunk, base)
+
+    np.testing.assert_allclose(loop_errs, np.asarray(metrics["err_g"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gs1.params),
+                    jax.tree_util.tree_leaves(gs2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ds1.params),
+                    jax.tree_util.tree_leaves(ds2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_discriminator_pretrain_chunk(rng):
+    cfg = tiny_cfg()
+    gen, gen_loss = build_offset_regression(cfg)
+    disc, _ = build_discriminator(cfg)
+    t = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                   mesh=make_mesh(1))
+    batches = [make_batch(rng) for _ in range(2)]
+    _, ds = t.init_states(jax.random.PRNGKey(0), batches[0])
+    chunk = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    ds, losses = t.pretrain_chunk(ds, chunk, jax.random.PRNGKey(5))
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(ds.step) == 2

@@ -158,3 +158,33 @@ def test_pallas_mode_work_gating():
     assert use and interpret
     cfg.use_pallas = 0
     assert _pallas_mode(cfg, 10**9)[0] is False
+
+
+def test_influence_gradient_finite_at_zero_distance():
+    """sqrt'(0)=inf used to poison gradients that flow through the geometry
+    (GAN G-step: D(points + G(points)) differentiates the discriminator's
+    pyramid w.r.t. the generated points; the query point coincides exactly
+    with the fixed center kernel point, sq==0).  The where-guarded sqrt
+    must give a finite (zero) subgradient there with the forward value
+    unchanged."""
+    import jax
+
+    from deep3dpointclouddenoising_tpu.ops.pallas_kpconv import \
+        _influence_weights
+
+    def f(rel):
+        sq = jnp.sum(rel * rel, axis=-1)
+        return jnp.sum(_influence_weights(sq, 1.0, "linear"))
+
+    rel = jnp.zeros((4, 3))
+    assert float(f(rel)) == 4.0  # forward: weight 1 at distance 0
+    g = jax.grad(f)(rel)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # mixed zero/nonzero distances: finite everywhere, correct where d>0
+    rel2 = jnp.array([[0.0, 0.0, 0.0], [0.3, 0.0, 0.0]])
+    g2 = jax.grad(lambda r: jnp.sum(_influence_weights(
+        jnp.sum(r * r, -1), 1.0, "linear")))(rel2)
+    assert np.all(np.isfinite(np.asarray(g2)))
+    np.testing.assert_allclose(np.asarray(g2)[1], [-1.0, 0.0, 0.0],
+                               atol=1e-6)
