@@ -164,6 +164,11 @@ def default_config() -> Config:
     # tunneled-TPU relay) is paid once per S steps instead of per step.
     # 0/1 disables chunking (reference-style per-step dispatch).
     c.steps_per_dispatch = 25
+    # 1 = sample training patches ON DEVICE (data/device_sampler.py): the
+    # full noisy clouds upload once and radius-query + gather + augmentation
+    # run inside the train scan, so per-step H2D shrinks to the (B, 2) int32
+    # patch-center ids.  0 = host-side patch assembly (reference semantics).
+    c.device_sampler = 0
     c.print_freq = 10
     c.save_freq = 10
     c.val_freq = 10

@@ -146,6 +146,18 @@ def main():
     writer = MetricsWriter(cfg.log_dir)
     chunk_size = int(cfg.steps_per_dispatch or 0)
 
+    sampler = cloud_data = sampled_step = None
+    if cfg.device_sampler:
+        # on-device patch extraction: clouds upload once, the train scan
+        # samples its own batches, host sends (S, B, 2) int32 centers
+        from deep3dpointclouddenoising_tpu.data.device_sampler import (
+            DeviceSampler, build_sampled_train_chunk)
+        sampler = DeviceSampler(train_ds, cfg)
+        cloud_data = sampler.cloud_data()
+        sampled_step = build_sampled_train_chunk(trainer, sampler)
+        logger.info("device sampler: clouds resident on device, "
+                    f"chunk={max(chunk_size, 1)} steps/dispatch")
+
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
         meter, batch_meter = AverageMeter(), AverageMeter()
@@ -163,7 +175,25 @@ def main():
         step_base = (epoch - 1) * len(train_loader)
         pending = []  # un-synced device loss scalars
         with device_trace(trace_dir):
-            if chunk_size > 1:
+            if sampler is not None:
+                centers = sampler.centers(epoch - 1, int(cfg.batch_size))
+                step = max(chunk_size, 1)
+                it = 0
+                for lo in range(0, centers.shape[0], step):
+                    ch = centers[lo: lo + step]
+                    state, losses = sampled_step(
+                        state, ch, cloud_data, rng)
+                    it += ch.shape[0]
+                    for lv in np.asarray(losses):  # syncs this chunk
+                        meter.update(float(lv), int(cfg.batch_size))
+                    batch_meter.update((time.time() - end) / ch.shape[0])
+                    end = time.time()
+                    logger.info(
+                        f"Train [{epoch}/{cfg.epochs}]"
+                        f"[{it}/{len(train_loader)}] "
+                        f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
+                        f"loss {meter.val:.4f} ({meter.avg:.4f})")
+            elif chunk_size > 1:
                 # scan-based dispatch: S steps per jit call, batches stacked
                 # host-side and transferred once — per-step RNG folds on the
                 # global step counter inside the scan (identical streams to

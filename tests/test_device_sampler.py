@@ -1,0 +1,156 @@
+"""Device-resident patch sampler: host-equivalence of the extraction
+geometry, augmentation invariants, and the fused sample+train scan."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep3dpointclouddenoising_tpu.config import default_config
+from deep3dpointclouddenoising_tpu.data.device_sampler import (
+    DeviceSampler, build_sampled_train_chunk)
+from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
+from deep3dpointclouddenoising_tpu.data.synthetic import (
+    make_icosphere, make_torus)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    shapes = {"sphere": make_icosphere(2), "torus": make_torus(12, 8)}
+    root = str(tmp_path_factory.mktemp("devsampler"))
+    return OffsetDataset(root, "train", in_radius=0.3, num_points=64,
+                         num_steps=8, num_epochs=2,
+                         num_points_per_shape=3000, noise_type="gaussian",
+                         noise_level=0.005, shapes=shapes, seed=0)
+
+
+def make_cfg(num_points=64, in_radius=0.3, jitter=0):
+    cfg = default_config()
+    cfg.num_points = num_points
+    cfg.in_radius = in_radius
+    cfg.jitter = jitter
+    cfg.z_angle_range = np.pi
+    cfg.augment_symmetries = [1, 0, 0]
+    cfg.scale_low = 1.0
+    cfg.scale_high = 1.0
+    cfg.noise_std = 1e-5
+    cfg.noise_clip = 1e-4
+    return cfg
+
+
+def _rows_sorted(a):
+    a = np.asarray(a)
+    return a[np.lexsort(a.T)]
+
+
+def test_sample_matches_host_geometry(dataset):
+    """Un-augmented device patches contain exactly the host patches' point
+    sets: same center in slot 0, same mask count, same coordinate rows."""
+    cfg = make_cfg()
+    sampler = DeviceSampler(dataset, cfg)
+    data = sampler.cloud_data()
+    centers = sampler.centers(0, batch_size=4)[0]  # (4, 2)
+    batch = jax.device_get(sampler.sample(
+        data, jnp.asarray(centers), jax.random.PRNGKey(0), augment=False))
+
+    for b in range(4):
+        idx_in_table = b  # step 0, element b -> table entry b
+        host = dataset.get(idx_in_table, 0)
+        # slot 0 is the picked center (relative coords = 0)
+        np.testing.assert_allclose(batch["points"][b, 0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(host["points"][0], 0.0, atol=1e-6)
+        assert float(batch["mask"][b].sum()) == float(host["mask"].sum())
+        m = host["mask"] > 0
+        dm = np.asarray(batch["mask"][b]) > 0
+        np.testing.assert_allclose(
+            _rows_sorted(np.asarray(batch["points"][b])[dm]),
+            _rows_sorted(host["points"][m]), atol=1e-5)
+        np.testing.assert_allclose(
+            _rows_sorted(np.asarray(batch["offsets"][b])[dm]),
+            _rows_sorted(host["offsets"][m]), atol=1e-5)
+
+
+def test_sample_pad_semantics(dataset):
+    """num_points larger than the neighborhood: mask marks the real prefix,
+    padding slots repeat real neighbors (host pad-by-cycling contract)."""
+    cfg = make_cfg(num_points=256, in_radius=0.08)
+    sampler = DeviceSampler(dataset, cfg)
+    sampler_small = sampler
+    data = sampler_small.cloud_data()
+    centers = sampler_small.centers(0, batch_size=2)[0]
+    batch = jax.device_get(sampler_small.sample(
+        data, jnp.asarray(centers), jax.random.PRNGKey(1), augment=False))
+    mask = np.asarray(batch["mask"])
+    assert 0 < mask.sum() < mask.size  # genuinely padded
+    for b in range(2):
+        cur = int(mask[b].sum())
+        assert np.all(mask[b, :cur] == 1) and np.all(mask[b, cur:] == 0)
+        real = np.asarray(batch["points"][b][: cur])
+        pads = np.asarray(batch["points"][b][cur:])
+        # every pad row equals some real row
+        d = np.abs(pads[:, None, :] - real[None, :, :]).sum(-1).min(1)
+        assert d.max() < 1e-6
+        # all real rows inside the query radius
+        assert np.linalg.norm(real, axis=1).max() <= cfg.in_radius + 1e-5
+
+
+def test_augmentation_invariants(dataset):
+    """Rotation-only augmentation preserves per-point distances to the
+    center and rotates points and offsets jointly."""
+    cfg = make_cfg(jitter=0)
+    sampler = DeviceSampler(dataset, cfg)
+    data = sampler.cloud_data()
+    centers = jnp.asarray(sampler.centers(0, batch_size=2)[0])
+    plain = jax.device_get(sampler.sample(data, centers,
+                                          jax.random.PRNGKey(2),
+                                          augment=False))
+    aug = jax.device_get(sampler.sample(data, centers,
+                                        jax.random.PRNGKey(2),
+                                        augment=True))
+    np.testing.assert_array_equal(plain["mask"], aug["mask"])
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(aug["points"]), axis=-1),
+        np.linalg.norm(np.asarray(plain["points"]), axis=-1), atol=1e-5)
+    # joint rotation preserves <point, offset>
+    np.testing.assert_allclose(
+        np.sum(np.asarray(aug["points"]) * np.asarray(aug["offsets"]), -1),
+        np.sum(np.asarray(plain["points"]) * np.asarray(plain["offsets"]),
+               -1), atol=1e-6)
+
+
+def test_sampled_train_chunk(dataset):
+    """The fused on-device sample+train scan runs and descends."""
+    from deep3dpointclouddenoising_tpu.models import build_offset_regression
+    from deep3dpointclouddenoising_tpu.parallel.mesh import make_mesh
+    from deep3dpointclouddenoising_tpu.train import Trainer
+
+    cfg = make_cfg()
+    cfg.width = 16
+    cfg.depth = 2
+    cfg.radius = 0.1
+    cfg.sampleDl = 0.03
+    cfg.nsamples = [8, 8, 8, 8, 8]
+    cfg.npoints = [16, 8, 4, 2]
+    cfg.local_aggregation_type = "pseudo_grid"
+    cfg.head = "offset_reg_head"
+    cfg.loss = "L1"
+    cfg.optimizer = "adam"
+    cfg.base_learning_rate = 1e-3
+    cfg.lr_scheduler = "step"
+    cfg.warmup_epoch = -1
+    cfg.epochs = 2
+    cfg.batch_size = 4
+
+    sampler = DeviceSampler(dataset, cfg)
+    data = sampler.cloud_data()
+    model, loss_fn = build_offset_regression(cfg)
+    trainer = Trainer(cfg, model, loss_fn, 2, mesh=make_mesh(1))
+
+    centers = sampler.centers(0, batch_size=4)  # (2, 4, 2)
+    example = jax.device_get(sampler.sample(
+        data, jnp.asarray(centers[0]), jax.random.PRNGKey(0)))
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    step_fn = build_sampled_train_chunk(trainer, sampler)
+    state, losses = step_fn(state, jnp.asarray(centers),
+                            data, jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(state.step) == 2
