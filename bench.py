@@ -159,6 +159,41 @@ def measure_all(batch: int = BATCH) -> dict:
     jax.block_until_ready(losses)
     dt_chunk = time.perf_counter() - t0
 
+    # training with ON-DEVICE patch sampling (data/device_sampler.py): the
+    # clouds live on device and each dispatch receives only (S, B, 2) int32
+    # centers — the end-state of removing the host->device data path
+    from types import SimpleNamespace
+
+    from deep3dpointclouddenoising_tpu.data.device_sampler import (
+        DeviceSampler, build_sampled_train_chunk)
+    host_rng = np.random.default_rng(0)
+    n_cloud = 140000  # reference point density (train_dist.py:230)
+    cloud = (host_rng.random((n_cloud, 3), np.float32) * 2 - 1)
+    duck = SimpleNamespace(
+        shapes=[SimpleNamespace(
+            points=cloud,
+            offsets=host_rng.normal(size=(n_cloud, 3)).astype(np.float32)
+            * 0.005,
+            labels=np.zeros(n_cloud, np.int32))],
+        point_inds=host_rng.integers(0, n_cloud, 2048).astype(np.int32),
+        cloud_inds=np.zeros(2048, np.int32),
+        num_steps=2048, fourier_B=None)
+    cfg.jitter = 1
+    cfg.z_angle_range = 3.1415926
+    cfg.augment_symmetries = [1, 0, 0]
+    cfg.scale_low = cfg.scale_high = 1.0
+    sampler = DeviceSampler(duck, cfg)
+    cloud_data = sampler.cloud_data()
+    sampled_fn = build_sampled_train_chunk(trainer, sampler)
+    centers = jax.device_put(sampler.centers(0, batch)[:S])
+    state, losses = sampled_fn(state, centers, cloud_data, rng)  # compile
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, losses = sampled_fn(state, centers, cloud_data, rng)
+    jax.block_until_ready(losses)
+    dt_sampled = time.perf_counter() - t0
+
     pts = batch * int(cfg.num_points)
     have_flops = fwd_flops == fwd_flops  # cost_analysis can fail → NaN
     achieved = fwd_flops * ITERS / dt_pipelined  # FLOP/s
@@ -179,6 +214,8 @@ def measure_all(batch: int = BATCH) -> dict:
         "train_step_ms": 1e3 * dt_train / TRAIN_ITERS,
         "train_chunk_pps": pts * 3 * S / dt_chunk,
         "train_chunk_step_ms": 1e3 * dt_chunk / (3 * S),
+        "train_sampled_pps": pts * 3 * S / dt_sampled,
+        "train_sampled_step_ms": 1e3 * dt_sampled / (3 * S),
         "batch": batch,
         "num_points": int(cfg.num_points),
     }
