@@ -198,7 +198,8 @@ class DeviceSampler:
             feats = feats / self.norm_factor
         return {"points": points, "mask": mask, "features": feats,
                 "labels": labels, "offsets": offsets,
-                "cloud_ind": center[0].astype(jnp.int32)}
+                "cloud_ind": center[0].astype(jnp.int32),
+                "input_inds": inds.astype(jnp.int32)}
 
     def sample(self, data: Dict, centers: jnp.ndarray, rng: jax.Array,
                augment: bool = True) -> Dict[str, jnp.ndarray]:

@@ -187,6 +187,104 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
     return results
 
 
+def predict_offsets_voting_device(model, variables, cfg,
+                                  dataset: OffsetDataset,
+                                  batch_size: int = 16,
+                                  num_outputs: int = 3,
+                                  tanh_offsets: bool = False,
+                                  scale: Optional[float] = None
+                                  ) -> List[np.ndarray]:
+    """Device-resident voting: the whole protocol of
+    ``predict_offsets_voting`` — patch extraction, forward, per-point vote
+    scatter — runs inside ONE jitted scan.  Clouds upload once
+    (data/device_sampler.py), the host sends only the int32 center table,
+    and the vote accumulators live on device; a single D2H transfer at the
+    end returns the (n_clouds, max_points, C) sums and counts.
+
+    Semantics match the host path with num_votes=1 (same patch point sets;
+    pad slots carry mask 0 and never vote).  ``scale`` multiplies raw
+    predictions (offset-regression norm checkpoints); ``tanh_offsets``
+    applies tanh to the first 3 channels before accumulation
+    (full-cleaning)."""
+    from .data.device_sampler import DeviceSampler
+
+    sampler = DeviceSampler(dataset, cfg)
+    data = sampler.cloud_data()
+    centers_all = np.stack([np.asarray(dataset.cloud_inds, np.int32),
+                            np.asarray(dataset.point_inds, np.int32)],
+                           axis=-1)
+    n = len(centers_all)
+    steps = -(-n // batch_size)
+    pad = steps * batch_size - n
+    valid = np.ones(steps * batch_size, np.float32)
+    if pad:
+        centers_all = np.concatenate(
+            [centers_all, np.repeat(centers_all[:1], pad, axis=0)])
+        valid[n:] = 0.0
+    centers = centers_all.reshape(steps, batch_size, 2)
+    valid = valid.reshape(steps, batch_size)
+    n_shapes, max_n = data["points"].shape[:2]
+
+    @jax.jit
+    def run(variables, data, centers, valid):
+        sums = jnp.zeros((n_shapes, max_n, num_outputs), jnp.float32)
+        counts = jnp.zeros((n_shapes, max_n, 1), jnp.float32)
+
+        def body(carry, inp):
+            sums, counts = carry
+            c, v = inp
+            batch = sampler.sample(data, c, jax.random.PRNGKey(0),
+                                   augment=False)
+            pred = model.apply(variables, batch["points"], batch["mask"],
+                               batch["features"], train=False)
+            if tanh_offsets:
+                pred = jnp.concatenate(
+                    [jnp.tanh(pred[..., :3]), pred[..., 3:]], axis=-1)
+            if scale:
+                pred = jnp.concatenate(
+                    [pred[..., :3] * scale, pred[..., 3:]], axis=-1)
+            w = batch["mask"] * v[:, None]
+            ci = batch["cloud_ind"][:, None]
+            inds = batch["input_inds"]
+            sums = sums.at[ci, inds].add(pred * w[..., None])
+            counts = counts.at[ci, inds].add(w[..., None])
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(body, (sums, counts),
+                                         (centers, valid))
+        return sums, counts
+
+    sums, counts = jax.device_get(run(jax.device_put(variables), data,
+                                      jnp.asarray(centers),
+                                      jnp.asarray(valid)))
+    out = []
+    for i, s in enumerate(dataset.shapes):
+        k = len(s.points)
+        out.append((sums[i, :k] / np.maximum(counts[i, :k], 1.0)
+                    ).astype(np.float32))
+    return out
+
+
+def denoise_clouds_device(model, variables, cfg, dataset: OffsetDataset,
+                          batch_size: int = 16,
+                          scale: Optional[float] = None
+                          ) -> List[Dict[str, np.ndarray]]:
+    """Offset-regression denoising through the device-resident voting path
+    (one jitted scan; see ``predict_offsets_voting_device``)."""
+    offsets = predict_offsets_voting_device(
+        model, variables, cfg, dataset, batch_size, 3, scale=scale)
+    results = []
+    for shape, off in zip(dataset.shapes, offsets):
+        results.append({
+            "noisy": shape.points,
+            "offsets": off,
+            "denoised": shape.points + off,
+            "labels": shape.labels,
+            "gt_offsets": shape.offsets,
+        })
+    return results
+
+
 def denoise_clouds_pcn(predict_fn, dataset: OffsetDataset,
                        batch_size: int = 64) -> List[Dict[str, np.ndarray]]:
     """PointCleanNet-baseline full-shape denoising

@@ -20,7 +20,8 @@ from deep3dpointclouddenoising_tpu.config import load_config
 from deep3dpointclouddenoising_tpu.data.meshio import write_ply
 from deep3dpointclouddenoising_tpu.data.offset_dataset import OffsetDataset
 from deep3dpointclouddenoising_tpu.infer import (
-    clean_clouds, denoise_clouds, denoise_clouds_spatial, make_predict_fn)
+    clean_clouds, denoise_clouds, denoise_clouds_device,
+    denoise_clouds_spatial, make_predict_fn)
 from deep3dpointclouddenoising_tpu.models import (
     build_complete_denoising, build_offset_regression)
 from deep3dpointclouddenoising_tpu.utils.checkpoint import load_checkpoint
@@ -41,6 +42,11 @@ def main():
                    help="PointCleanNet-baseline inference: one patch per "
                         "cloud point, the ResPCPNet predicts the center "
                         "offset only (qualitative_inference_test.py:353-403)")
+    p.add_argument("--device_voting", action="store_true",
+                   help="run the whole voting protocol on device (clouds "
+                        "resident, patch extraction + forward + vote "
+                        "scatter in one jitted scan); offset regression, "
+                        "num_votes=1")
     p.add_argument("--spatial", action="store_true",
                    help="denoise each full cloud in one forward with the "
                         "point axis sharded over the device mesh "
@@ -98,7 +104,14 @@ def main():
     predict = make_predict_fn(model, variables, norm_factor=norm_factor,
                               scale_outputs=not args.full_cleaning)
 
-    if args.spatial:
+    if args.device_voting:
+        if args.full_cleaning or args.spatial or args.num_votes > 1:
+            p.error("--device_voting supports offset regression with "
+                    "num_votes=1")
+        results = denoise_clouds_device(model, variables, cfg, dataset,
+                                        batch_size=cfg.batch_size,
+                                        scale=norm_factor)
+    elif args.spatial:
         if args.full_cleaning:
             p.error("--spatial supports offset regression only")
         results = denoise_clouds_spatial(variables, cfg, dataset)

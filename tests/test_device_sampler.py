@@ -154,3 +154,67 @@ def test_sampled_train_chunk(dataset):
                             data, jax.random.PRNGKey(3))
     assert np.all(np.isfinite(np.asarray(losses)))
     assert int(state.step) == 2
+
+
+class _LinearModel:
+    """Mock predictor: a deterministic function of patch coordinates, so
+    host and device voting must agree exactly (patch sets are identical;
+    ordering and padding must not matter)."""
+
+    def apply(self, variables, points, mask, features, train=False):
+        return points * 2.0 + 0.125
+
+
+def test_device_voting_matches_host(tmp_path):
+    from deep3dpointclouddenoising_tpu.infer import (
+        denoise_clouds, predict_offsets_voting_device)
+
+    shapes = {"sphere": make_icosphere(2), "torus": make_torus(10, 6)}
+    ds = OffsetDataset(str(tmp_path), "qualitative_test", in_radius=0.4,
+                       num_points=64, num_steps=1, num_epochs=1,
+                       num_points_per_shape=1500, noise_type="gaussian",
+                       noise_level=0.005, shapes=shapes, seed=0,
+                       sample_dl_patches=0.4)
+    cfg = make_cfg(num_points=64, in_radius=0.4)
+    model = _LinearModel()
+
+    host = denoise_clouds(lambda b: jnp.asarray(b["points"]) * 2.0 + 0.125,
+                          ds, batch_size=4)
+    dev = predict_offsets_voting_device(model, {}, cfg, ds, batch_size=4)
+    for h, d in zip(host, dev):
+        assert h["offsets"].shape == d.shape
+        np.testing.assert_allclose(h["offsets"], d, atol=2e-4)
+
+
+def test_device_voting_real_model(tmp_path):
+    """End-to-end smoke with the real U-Net: finite averaged offsets for
+    every cloud point."""
+    from deep3dpointclouddenoising_tpu.infer import denoise_clouds_device
+    from deep3dpointclouddenoising_tpu.models import build_offset_regression
+
+    shapes = {"sphere": make_icosphere(2)}
+    ds = OffsetDataset(str(tmp_path), "qualitative_test", in_radius=0.4,
+                       num_points=64, num_steps=1, num_epochs=1,
+                       num_points_per_shape=1000, noise_type="gaussian",
+                       noise_level=0.005, shapes=shapes, seed=0,
+                       sample_dl_patches=0.4)
+    cfg = make_cfg(num_points=64, in_radius=0.4)
+    cfg.width = 16
+    cfg.depth = 2
+    cfg.radius = 0.15
+    cfg.sampleDl = 0.04
+    cfg.nsamples = [8, 8, 8, 8, 8]
+    cfg.npoints = [16, 8, 4, 2]
+    cfg.local_aggregation_type = "pseudo_grid"
+    cfg.head = "offset_reg_head"
+    cfg.loss = "L1"
+    model, _ = build_offset_regression(cfg)
+    sample = ds.get(0)
+    variables = model.init(jax.random.PRNGKey(0), sample["points"][None],
+                           sample["mask"][None], sample["features"][None],
+                           train=False)
+    results = denoise_clouds_device(model, variables, cfg, ds, batch_size=4)
+    assert len(results) == 1
+    off = results[0]["offsets"]
+    assert off.shape == (1000, 3)
+    assert np.all(np.isfinite(off))
