@@ -144,6 +144,13 @@ def run_pcn(args, cfg, dataset):
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
     variables = jax.device_put(variables)
+    if args.device_voting:
+        from deep3dpointclouddenoising_tpu.infer import \
+            denoise_clouds_pcn_device
+        results = denoise_clouds_pcn_device(model, variables, cfg, dataset,
+                                            batch_size=int(cfg.batch_size))
+        write_results(args, dataset, results)
+        return
     scale = float(cfg.in_radius) if cfg.loss != "L1" else 1.0
 
     @jax.jit

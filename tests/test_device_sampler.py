@@ -218,3 +218,35 @@ def test_device_voting_real_model(tmp_path):
     off = results[0]["offsets"]
     assert off.shape == (1000, 3)
     assert np.all(np.isfinite(off))
+
+
+def test_device_pcn_matches_host(tmp_path):
+    """Device PCN scan equals the host per-patch loop under a deterministic
+    mock (same patch sets; PCN writes each center's own prediction)."""
+    from deep3dpointclouddenoising_tpu.infer import (
+        denoise_clouds_pcn, denoise_clouds_pcn_device)
+
+    shapes = {"sphere": make_icosphere(1)}
+    ds = OffsetDataset(str(tmp_path), "qualitative_test", in_radius=2.5,
+                       num_points=48, num_steps=1, num_epochs=1,
+                       num_points_per_shape=300, noise_type="gaussian",
+                       noise_level=0.005, shapes=shapes, seed=0,
+                       architecture="PCN", sample_dl_patches=2.5)
+    cfg = make_cfg(num_points=48, in_radius=2.5)
+    cfg.loss = "L1"
+    cfg.batch_size = 16
+
+    class _MeanModel:
+        def apply(self, variables, points, train=False):
+            pred = jnp.mean(points, axis=1) * 2.0
+            trans = jnp.broadcast_to(jnp.eye(3),
+                                     (points.shape[0], 3, 3))
+            return pred, trans, None
+
+    host = denoise_clouds_pcn(
+        lambda pts: np.asarray(jnp.mean(jnp.asarray(pts), axis=1) * 2.0),
+        ds, batch_size=16)
+    dev = denoise_clouds_pcn_device(_MeanModel(), {}, cfg, ds,
+                                    batch_size=16)
+    np.testing.assert_allclose(host[0]["offsets"], dev[0]["offsets"],
+                               atol=1e-5)
