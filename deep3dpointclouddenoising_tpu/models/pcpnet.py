@@ -169,12 +169,24 @@ class PointNetFeat(nn.Module):
 class ResPCPNet(nn.Module):
     """Residual PCPNet regressing one output vector per patch
     (pcpnet.py:436-461) — the PCN-baseline generator used by
-    build_offset_regression_PCN."""
+    build_offset_regression_PCN.
+
+    ``linear_output`` (default True, deliberate divergence): the
+    reference's output block is a BasicBlock whose forward ends in
+    ``F.relu`` (pcpnet.py:251-255), so its ResPCPNet can only emit
+    NON-NEGATIVE offsets — trained from scratch on signed offset targets
+    it collapses to the zero predictor (measured: loss pinned at the
+    zero-pred baseline from epoch 2, output exactly 0 through the dead
+    output ReLU).  The reference never trained PCN from scratch (its
+    PCN_origin.yaml fine-tunes pretrained weights at sgd lr 1e-8, where
+    the defect is invisible).  A small-init linear head regresses signed
+    offsets; set linear_output=False for the reference-faithful block."""
     num_points: int = 500
     output_dim: int = 3
     use_point_stn: bool = True
     use_feat_stn: bool = True
     sym_op: str = "max"
+    linear_output: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,7 +195,12 @@ class ResPCPNet(nn.Module):
             sym_op=self.sym_op, residual=True)(x, train)
         h = BasicBlock(512)(feat, train)
         h = BasicBlock(256)(h, train)
-        h = BasicBlock(self.output_dim)(h, train)
+        if self.linear_output:
+            init = _small_uniform()
+            h = nn.Dense(self.output_dim, kernel_init=init,
+                         bias_init=init)(h)
+        else:
+            h = BasicBlock(self.output_dim)(h, train)
         return h, trans, trans2
 
 
