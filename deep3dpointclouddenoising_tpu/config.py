@@ -86,6 +86,10 @@ def default_config() -> Config:
     c.jitter = 0
     c.norm = 0
     c.GAN = 0
+    # adversarial-loss weight (reference hardcodes ALPHA=0.01,
+    # train_dist_GAN.py:44; configurable here because the right balance
+    # depends on the task-loss scale of the training regime)
+    c.gan_alpha = 0.01
     c.load_path_generator = ""
     c.load_path_discriminator = ""
     c.head_discriminator = "None"

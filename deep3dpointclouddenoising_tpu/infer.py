@@ -333,17 +333,25 @@ def denoise_clouds_pcn(predict_fn, dataset: OffsetDataset,
 
 def denoise_clouds_pcn_device(model, variables, cfg,
                               dataset: OffsetDataset,
-                              batch_size: int = 64
+                              batch_size: int = 64,
+                              chunk_steps: int = 128,
                               ) -> List[Dict[str, np.ndarray]]:
     """Device-resident PCN inference: one patch per cloud point (~140k
     patches per cloud at reference density), extracted and predicted inside
-    a single jitted scan — the host sends the int32 point table once
-    instead of assembling half a million patches.
+    jitted scans — the host sends the int32 point table once instead of
+    assembling half a million patches.
+
+    The scan is dispatched in chunks of ``chunk_steps`` (one multi-minute
+    monolithic executable reproducibly crashes the tunneled TPU worker;
+    bounded dispatches with a sync between them keep the relay alive), with
+    the vote accumulator donated across chunks so it never leaves HBM.
 
     The host path pads underfilled patches with cloud point 0
     (offset_dataset.py:666-668); this path cycles real neighbors instead —
     indistinguishable at reference density where patches never underfill.
     """
+    from functools import partial
+
     from .data.device_sampler import DeviceSampler
 
     sampler = DeviceSampler(dataset, cfg)
@@ -353,21 +361,21 @@ def denoise_clouds_pcn_device(model, variables, cfg,
                            axis=-1)
     n = len(centers_all)
     steps = -(-n // batch_size)
+    n_chunks = -(-steps // chunk_steps)
+    steps = n_chunks * chunk_steps
     pad = steps * batch_size - n
     valid = np.ones(steps * batch_size, np.float32)
     if pad:
         centers_all = np.concatenate(
             [centers_all, np.repeat(centers_all[:1], pad, axis=0)])
         valid[n:] = 0.0
-    centers = centers_all.reshape(steps, batch_size, 2)
-    valid = valid.reshape(steps, batch_size)
+    centers = centers_all.reshape(n_chunks, chunk_steps, batch_size, 2)
+    valid = valid.reshape(n_chunks, chunk_steps, batch_size)
     n_shapes, max_n = data["points"].shape[:2]
     scale = float(cfg.in_radius) if cfg.loss != "L1" else 1.0
 
-    @jax.jit
-    def run(variables, data, centers, valid):
-        out = jnp.zeros((n_shapes, max_n, 3), jnp.float32)
-
+    @partial(jax.jit, donate_argnums=(1,))
+    def run_chunk(variables, out, data, centers, valid):
         def body(out, inp):
             c, v = inp
             batch = sampler.sample(data, c, jax.random.PRNGKey(0),
@@ -382,8 +390,14 @@ def denoise_clouds_pcn_device(model, variables, cfg,
         out, _ = jax.lax.scan(body, out, (centers, valid))
         return out
 
-    offsets = jax.device_get(run(jax.device_put(variables), data,
-                                 jnp.asarray(centers), jnp.asarray(valid)))
+    variables = jax.device_put(variables)
+    data = jax.device_put(data)
+    out = jnp.zeros((n_shapes, max_n, 3), jnp.float32)
+    for i in range(n_chunks):
+        out = run_chunk(variables, out, data, jnp.asarray(centers[i]),
+                        jnp.asarray(valid[i]))
+        out.block_until_ready()  # bound outstanding relay work per dispatch
+    offsets = jax.device_get(out)
     results = []
     for i, shape in enumerate(dataset.shapes):
         off = offsets[i, : len(shape.points)]

@@ -54,6 +54,12 @@ class GANTrainer:
         self.discriminator = discriminator
         self.gen_loss = gen_loss
         self.freeze_generator = freeze_generator
+        # ALPHA balances adversarial vs task gradients; the reference's 0.01
+        # assumes its ~0.02 task-loss scale (train_dist_GAN.py:44).  On
+        # regimes with much smaller task losses the same 0.01 lets the BCE
+        # term drag a converged generator away from the task optimum, so it
+        # is configurable (cfg.gan_alpha).
+        self.alpha = float(getattr(cfg, "gan_alpha", ALPHA))
         self.mesh = mesh if mesh is not None else make_mesh()
         world = self.mesh.devices.size
         self.tx_g, self.lr_g = make_optimizer(cfg, n_iter_per_epoch, world)
@@ -166,7 +172,7 @@ class GANTrainer:
         def d_loss_fn(d_params):
             out, new_bs = self._disc_apply(d_params, disc_state.batch_stats,
                                            pts2, mask2, True, r_d)
-            return _bce(out, labels2) * ALPHA, (out, new_bs)
+            return _bce(out, labels2) * self.alpha, (out, new_bs)
 
         (err_d, (d_out, d_bs)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(disc_state.params)
@@ -192,7 +198,7 @@ class GANTrainer:
             err_g1 = _bce(d_score, g_labels)
             err_g2 = self.gen_loss(pred, batch["offsets"], batch["mask"],
                                    batch["points"])
-            return err_g1 * ALPHA + err_g2, (err_g1, err_g2, new_gbs)
+            return err_g1 * self.alpha + err_g2, (err_g1, err_g2, new_gbs)
 
         (err_g, (g1, g2, g_bs)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(gen_state.params)

@@ -75,14 +75,17 @@ for stage in $STAGES; do
     sup synthetic_quality_disc python scripts/train_discriminator.py \
       --config_file cfgs/synthetic_quality_disc.yaml \
       --data_root "$DR" --log_dir "$QD" --auto_resume
-    sup synthetic_quality_gan python scripts/train_gan.py \
-      --config_file cfgs/synthetic_quality_gan.yaml \
+    # _tuned: gan_alpha rebalanced for the synthetic regime's ~0.001 task
+    # loss (the reference ALPHA=0.01 lets the adversarial term drag the
+    # converged generator off the task optimum here — see RESULTS.md)
+    sup synthetic_quality_gan_tuned python scripts/train_gan.py \
+      --config_file cfgs/synthetic_quality_gan_tuned.yaml \
       --data_root "$DR" --log_dir "$QD" --auto_resume \
       --load_path_generator "$QD/synthetic_quality_diverse/current" \
       --load_path_discriminator "$QD/synthetic_quality_disc/current"
     for sig in 0.005 0.001; do
-      infer_cd gan_$sig cfgs/synthetic_quality_gan.yaml $sig \
-        --checkpoint "$QD/synthetic_quality_gan/generator/current"
+      infer_cd gan_$sig cfgs/synthetic_quality_gan_tuned.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_gan_tuned/generator/current"
     done ;;
   cleaning)
     sup synthetic_quality_cleaning python scripts/train_full_cleaning.py \

@@ -246,7 +246,10 @@ def test_device_pcn_matches_host(tmp_path):
     host = denoise_clouds_pcn(
         lambda pts: np.asarray(jnp.mean(jnp.asarray(pts), axis=1) * 2.0),
         ds, batch_size=16)
+    # chunk_steps=4 forces the multi-dispatch path (300 patches / batch 16
+    # = 19 steps -> 5 chunks incl. a padded final one); the relay-facing
+    # default (128) reduces to a single chunk on this tiny cloud
     dev = denoise_clouds_pcn_device(_MeanModel(), {}, cfg, ds,
-                                    batch_size=16)
+                                    batch_size=16, chunk_steps=4)
     np.testing.assert_allclose(host[0]["offsets"], dev[0]["offsets"],
                                atol=1e-5)

@@ -173,3 +173,26 @@ def test_discriminator_pretrain_chunk(rng):
     ds, losses = t.pretrain_chunk(ds, chunk, jax.random.PRNGKey(5))
     assert np.all(np.isfinite(np.asarray(losses)))
     assert int(ds.step) == 2
+
+
+def test_gan_alpha_configurable(rng):
+    """cfg.gan_alpha scales the adversarial term: with alpha=0 the G update
+    must reduce to a pure task-loss step (err_g == err_g2) and err_d == 0."""
+    cfg = tiny_cfg()
+    cfg.gan_alpha = 0.0
+    gen, gen_loss = build_offset_regression(cfg)
+    disc, _ = build_discriminator(cfg)
+    trainer = GANTrainer(cfg, gen, gen_loss, disc, n_iter_per_epoch=4,
+                         mesh=make_mesh(1))
+    assert trainer.alpha == 0.0
+    batch = make_batch(rng)
+    gs, ds = trainer.init_states(jax.random.PRNGKey(0), batch)
+    _, _, metrics = trainer.update(gs, ds, batch, jax.random.PRNGKey(1))
+    assert float(metrics["err_d"]) == 0.0
+    np.testing.assert_allclose(float(metrics["err_g"]),
+                               float(metrics["err_g2"]), rtol=1e-6)
+    # default path keeps the reference constant
+    cfg2 = tiny_cfg()
+    t2 = GANTrainer(cfg2, gen, gen_loss, disc, n_iter_per_epoch=4,
+                    mesh=make_mesh(1))
+    assert t2.alpha == 0.01
