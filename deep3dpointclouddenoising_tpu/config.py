@@ -130,6 +130,10 @@ def default_config() -> Config:
     # matmul compute dtype: float32 | bfloat16 (params and BatchNorm stay
     # float32; bfloat16 feeds the MXU at twice the rate)
     c.compute_dtype = "float32"
+    # rematerialize encoder bottlenecks under autodiff (jax.checkpoint):
+    # trades recompute FLOPs for activation HBM — enables bigger batches on
+    # the 15000-point chamfer configs (cfgs/chamfer_*.yaml geometry)
+    c.remat = 0
     # -- data ---------------------------------------------------------------
     c.datasets = "modelnet40"
     c.dataset = "PCN"

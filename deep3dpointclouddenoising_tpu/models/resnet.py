@@ -78,13 +78,28 @@ class ResNetEncoder(nn.Module):
         r0 = float(cfg.radius)
         L0 = pyramid.levels[0]
 
+        # cfg.remat: wrap every bottleneck in jax.checkpoint so its
+        # activations are recomputed in the backward pass instead of held
+        # in HBM — the TPU trade (FLOPs are cheap on the MXU, HBM is the
+        # bottleneck) that lets the 15k-point chamfer configs fit bigger
+        # batches.  `train` (argnum 4; 0 = module) stays static.  Explicit
+        # Bottleneck_N names keep the param tree identical to the
+        # un-remat'd model (nn.remat's auto-naming would register under
+        # CheckpointBottleneck_N, breaking checkpoint compatibility).
+        cls = (nn.remat(Bottleneck, static_argnums=(4,))
+               if int(getattr(cfg, "remat", 0)) else Bottleneck)
+        counter = iter(range(100))
+
+        def Block(*a, **kw):
+            return cls(*a, name=f"Bottleneck_{next(counter)}", **kw)
+
         # stem: conv1 -> la1 -> btnk1, all at input resolution
         x = ConvBN(width // 2, cfg.bn_momentum,
                    dtype=compute_dtype(cfg))(features, train)
         x = LocalAggregation(width // 2, width // 2, r0, cfg)(
             x, L0.self_nbr, L0.mask, train)
-        x = Bottleneck(width // 2, width, r0, cfg)(x, L0.self_nbr, L0.mask,
-                                                   train)
+        x = Block(width // 2, width, r0, cfg)(x, L0.self_nbr, L0.mask,
+                                              train)
         outs = [x]
 
         ch = width
@@ -92,11 +107,11 @@ class ResNetEncoder(nn.Module):
             lvl = pyramid.levels[i]
             # strided bottleneck: pool radius is the *previous* level's
             # radius (resnet.py:102-104 passes the pre-doubling radius)
-            x = Bottleneck(ch, ch * 2, r0 * (2.0 ** (i - 1)), cfg,
-                           strided=True)(x, tr.pool_nbr, lvl.mask, train)
+            x = Block(ch, ch * 2, r0 * (2.0 ** (i - 1)), cfg,
+                      strided=True)(x, tr.pool_nbr, lvl.mask, train)
             ch *= 2
             for _ in range(depth - 1):
-                x = Bottleneck(ch, ch, r0 * (2.0 ** i), cfg)(
+                x = Block(ch, ch, r0 * (2.0 ** i), cfg)(
                     x, lvl.self_nbr, lvl.mask, train)
             outs.append(x)
         return outs

@@ -187,10 +187,53 @@ class Trainer:
         return self._batch_sh
 
     def shard_batch(self, batch: Dict) -> Dict:
-        """device_put each batch leaf with its rank-appropriate sharding."""
+        """device_put each batch leaf with its rank-appropriate sharding.
+
+        Multi-host jobs (``jax.process_count() > 1`` after
+        ``parallel.initialize_multihost``) pass only this host's
+        ``global_batch / num_processes`` rows; the global array is
+        assembled from the per-process locals — the pjit equivalent of
+        the reference's DistributedSampler shards (train_dist.py:244-252).
+        """
+        if jax.process_count() > 1:
+            return self._assemble_multihost(batch, batch_axis=0)
         return jax.tree_util.tree_map(
             lambda v: jax.device_put(v, self._leaf_sharding(jnp.shape(v))),
             batch)
+
+    def _assemble_multihost(self, tree: Dict, batch_axis: int) -> Dict:
+        """Build globally-sharded arrays from per-process local shards.
+
+        ``batch_axis`` is the leaf axis each host's rows live on (0 for a
+        batch, 1 for a stacked (S, B, ...) chunk).  Spatial modes shard
+        the *point* axis of one cloud, which has no per-host decomposition
+        — multi-host is data-parallel only, like the reference.
+        """
+        if self._spatial:
+            raise NotImplementedError(
+                "multi-host training is data-parallel only (spatial point "
+                "sharding is per-slice); use spatial=False across hosts")
+        import numpy as np
+        n_proc = jax.process_count()
+        leaf_sh = (self._leaf_sharding if batch_axis == 0
+                   else self._chunk_leaf_sharding)
+
+        def put(v):
+            v = np.asarray(v)
+            if v.ndim <= batch_axis:
+                # scalars / step-only leaves: identical on all hosts
+                return jax.make_array_from_process_local_data(self._repl, v)
+            gshape = list(v.shape)
+            gshape[batch_axis] *= n_proc
+            sh = leaf_sh(tuple(gshape))
+            if sh is self._repl:
+                raise ValueError(
+                    f"multi-host batch leaf {v.shape} does not divide the "
+                    f"data axis globally; pad the global batch (the "
+                    f"DistributedSampler contract)")
+            return jax.make_array_from_process_local_data(sh, v)
+
+        return jax.tree_util.tree_map(put, tree)
 
     def _chunk_leaf_sharding(self, shape: Tuple[int, ...]) -> NamedSharding:
         """Sharding for a stacked (S, B, ...) chunk leaf: the step axis is
@@ -201,6 +244,8 @@ class Trainer:
         return self._repl
 
     def shard_chunk(self, chunk: Dict) -> Dict:
+        if jax.process_count() > 1:
+            return self._assemble_multihost(chunk, batch_axis=1)
         return jax.tree_util.tree_map(
             lambda v: jax.device_put(
                 v, self._chunk_leaf_sharding(jnp.shape(v))), chunk)

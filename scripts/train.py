@@ -69,6 +69,16 @@ def parse_args():
                    "the env-var JAX_PLATFORMS is overridden by the "
                    "container's TPU bootstrap, so this uses a post-import "
                    "config update)")
+    # multi-host (pod / multi-slice) launch: run this script once per host
+    # (the reference's torch.distributed.launch equivalent,
+    # train_dist.py:499-518); on Cloud TPU pods all three are auto-detected,
+    # so `--multihost` alone suffices
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host JAX job "
+                   "(jax.distributed.initialize) before building the mesh")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -76,6 +86,12 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost or args.coordinator_address:
+        from deep3dpointclouddenoising_tpu.parallel import \
+            initialize_multihost
+        initialize_multihost(args.coordinator_address, args.num_processes,
+                             args.process_id)
+    from deep3dpointclouddenoising_tpu.parallel import is_coordinator
     enable_persistent_cache()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k in
@@ -107,8 +123,26 @@ def main():
                            num_epochs=1, **common)
     logger.info(f"train patches: {len(train_ds)}, val: {len(val_ds)}")
 
+    n_proc = jax.process_count()
+    if n_proc > 1 and cfg.device_sampler:
+        raise NotImplementedError(
+            "device_sampler keeps whole clouds resident per chip and is "
+            "single-host; multi-host jobs use the host batch pipeline")
+    # multi-host: every host builds the identical (seeded) epoch table and
+    # keeps only its batch/n_proc rows; a ragged final val batch cannot be
+    # split evenly, so multi-host drops it (DistributedSampler semantics)
     train_loader = BatchLoader(train_ds, cfg.batch_size, drop_last=True)
-    val_loader = BatchLoader(val_ds, cfg.batch_size, drop_last=False)
+    val_loader = BatchLoader(val_ds, cfg.batch_size,
+                             drop_last=(n_proc > 1))
+
+    def _localized(it_):
+        if n_proc == 1:
+            yield from it_
+            return
+        from deep3dpointclouddenoising_tpu.parallel import process_slice
+        for b in it_:
+            sl = process_slice(len(b["points"]))
+            yield {k: v[sl] for k, v in b.items()}
 
     model, loss_fn = build_offset_regression(cfg)
     trainer = Trainer(cfg, model, loss_fn, n_iter_per_epoch=len(train_loader))
@@ -199,8 +233,8 @@ def main():
                 # global step counter inside the scan (identical streams to
                 # the per-step path below)
                 chunks = device_prefetch(
-                    chunk_batches(_normed(train_loader.epoch_iter(epoch - 1)),
-                                  chunk_size), trainer.chunk_sharding)
+                    chunk_batches(_localized(_normed(
+                        train_loader.epoch_iter(epoch - 1))), chunk_size), trainer.chunk_sharding)
                 it = 0
                 for chunk in chunks:
                     s = int(chunk["points"].shape[0])
@@ -216,8 +250,9 @@ def main():
                         f"T {batch_meter.val:.3f} ({batch_meter.avg:.3f}) "
                         f"loss {meter.val:.4f} ({meter.avg:.4f})")
             else:
-                batches = device_prefetch(_normed(train_loader.epoch_iter(
-                    epoch - 1)), trainer.batch_sharding)
+                batches = device_prefetch(_localized(_normed(
+                    train_loader.epoch_iter(epoch - 1))),
+                    trainer.batch_sharding)
                 for it, batch in enumerate(batches):
                     # step counter tracked on host: reading state.step (and
                     # float(loss)) every iteration forces a device sync per
@@ -244,14 +279,16 @@ def main():
         logger.info(f"epoch {epoch} total {time.time()-tic:.1f}s "
                     f"lr {float(trainer.lr_schedule(int(state.step))):.6f} "
                     f"wall {1e3*batch_meter.avg:.1f}ms/step")
-        writer.add_scalar("train/loss", meter.avg, epoch)
-        writer.add_scalar("train/lr",
-                          float(trainer.lr_schedule(int(state.step))), epoch)
+        if is_coordinator():
+            writer.add_scalar("train/loss", meter.avg, epoch)
+            writer.add_scalar("train/lr",
+                              float(trainer.lr_schedule(int(state.step))),
+                              epoch)
 
         if epoch % cfg.val_freq == 0:
             vmeter = AverageMeter()
             vpending = []  # sync once at the end, not per batch
-            for batch in val_loader.epoch_iter(0):
+            for batch in _localized(val_loader.epoch_iter(0)):
                 if cfg.norm:
                     for k in ("points", "offsets", "features"):
                         batch[k] = batch[k] / norm_factor
@@ -260,9 +297,12 @@ def main():
             for vl, n in vpending:
                 vmeter.update(float(vl), n)
             logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
-            writer.add_scalar("val/loss", vmeter.avg, epoch)
+            if is_coordinator():
+                writer.add_scalar("val/loss", vmeter.avg, epoch)
 
-        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+        if is_coordinator():  # params are replicated: rank 0 holds all
+            save_checkpoint(cfg.log_dir, epoch, state,
+                            save_freq=cfg.save_freq)
 
 
 if __name__ == "__main__":

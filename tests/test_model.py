@@ -141,3 +141,31 @@ def test_bfloat16_compute_parity(rng):
     # correlation stays high: same function up to rounding
     c = np.corrcoef(out32.ravel(), out16.ravel())[0, 1]
     assert c > 0.99
+
+
+def test_remat_matches_no_remat(rng):
+    """cfg.remat wraps encoder bottlenecks in jax.checkpoint — pure
+    recompute, so loss AND gradients must match the un-remat'd model to
+    float tolerance (same params: remat is a transform, not new modules)."""
+    xyz, mask, feats = tiny_batch(rng)
+    cfg = tiny_config()
+    model = OffsetRegressionModel(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0), xyz, mask, feats,
+                           train=False)
+    model_r = OffsetRegressionModel(cfg=tiny_config(remat=1))
+
+    def make_loss(m):
+        def loss_fn(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xyz, mask, feats, train=True, mutable=["batch_stats"])
+            return jnp.mean(jnp.abs(out))
+        return jax.jit(jax.value_and_grad(loss_fn))
+
+    l0, g0 = make_loss(model)(variables["params"])
+    l1, g1 = make_loss(model_r)(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
