@@ -135,6 +135,12 @@ def default_config() -> Config:
     # the 15000-point chamfer configs (cfgs/chamfer_*.yaml geometry)
     c.remat = 0
     # -- data ---------------------------------------------------------------
+    # custom sigma set (percent) for the diverse/diverse_stable regimes;
+    # empty = the reference's {0, 0.25, 0.5, 1, 1.5, 2.5}
+    # (offset_dataset.py:163).  Lets specialist models train on a narrow
+    # band, e.g. [0.05, 0.1, 0.25] for the low-noise regime the reference
+    # fails at (report section 5.2: CD ratio 1.45 at sigma=0.1%)
+    c.diverse_levels = []
     c.datasets = "modelnet40"
     c.dataset = "PCN"
     c.data_root = ""

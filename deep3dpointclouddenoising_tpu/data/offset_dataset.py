@@ -54,18 +54,23 @@ class ShapeData:
 
 
 def _add_noise(pos: np.ndarray, gt: np.ndarray, noise_type: str,
-               noise_level: float, rng: np.random.Generator) -> np.ndarray:
-    """Noise injection for inliers (offset_dataset.py:131-194)."""
+               noise_level: float, rng: np.random.Generator,
+               levels: Optional[Sequence[float]] = None) -> np.ndarray:
+    """Noise injection for inliers (offset_dataset.py:131-194).
+
+    ``levels`` overrides the sigma set (in percent) of the 'diverse'
+    per-point mix; default = the reference's DIVERSE_LEVELS."""
     inlier = gt == 0
     n_in = int(inlier.sum())
     if n_in == 0:
         return pos
     if noise_type == "diverse":
-        per_bin = n_in // len(DIVERSE_LEVELS)
+        levels = list(levels or DIVERSE_LEVELS)
+        per_bin = n_in // len(levels)
         noises = []
         used = 0
-        for i, lvl in enumerate(DIVERSE_LEVELS):
-            cnt = n_in - used if i == len(DIVERSE_LEVELS) - 1 else per_bin
+        for i, lvl in enumerate(levels):
+            cnt = n_in - used if i == len(levels) - 1 else per_bin
             used += cnt
             lvl = lvl / 100.0
             noises.append(lvl * rng.standard_normal((cnt, 3))
@@ -91,7 +96,8 @@ def process_off_file(filepath: str, num_points_per_shape: int,
                      outlier_proportion: float, noise_type: str,
                      noise_level: float, margin: float = 0.1,
                      rng: Optional[np.random.Generator] = None,
-                     mesh: Optional[TriMesh] = None) -> ShapeData:
+                     mesh: Optional[TriMesh] = None,
+                     levels: Optional[Sequence[float]] = None) -> ShapeData:
     """Build one shape's noisy cloud + GT offsets (offset_dataset.py:196-264)."""
     rng = rng or np.random.default_rng()
     n_out = int(num_points_per_shape * outlier_proportion)
@@ -121,13 +127,15 @@ def process_off_file(filepath: str, num_points_per_shape: int,
     order = rng.permutation(num_points_per_shape)
     pos, gt = pos[order], gt[order]
 
-    noisy = _add_noise(pos, gt, noise_type, noise_level, rng)
+    noisy = _add_noise(pos, gt, noise_type, noise_level, rng, levels=levels)
     closest, _ = closest_point_on_mesh(shape, noisy)
     offsets = closest - noisy
 
     if noise_type == "diverse":
         # labels become "offset larger than max σ" (offset_dataset.py:256-258)
-        gt = (np.linalg.norm(offsets, axis=1) > 2.5 / 100.0).astype(np.int32)
+        max_lvl = max(levels) if levels else 2.5
+        gt = (np.linalg.norm(offsets, axis=1) > max_lvl / 100.0) \
+            .astype(np.int32)
 
     return ShapeData(mesh=shape, points=noisy.astype(np.float32),
                      labels=gt.astype(np.int32),
@@ -174,7 +182,8 @@ class OffsetDataset:
                  fourier_features: bool = False,
                  subsampling_parameter: float = 0.0,
                  debug: bool = False, seed: int = 0,
-                 shapes: Optional[Dict[str, TriMesh]] = None):
+                 shapes: Optional[Dict[str, TriMesh]] = None,
+                 diverse_levels: Optional[Sequence[float]] = None):
         if "test" not in split:
             assert num_steps * num_epochs % 2 == 0, \
                 "balanced inlier/outlier interleave needs an even table"
@@ -210,8 +219,12 @@ class OffsetDataset:
                 f"no .off shapes under {data_root}/{split}")
         self.cloud_names = names
 
-        levels = list(DIVERSE_LEVELS) if noise_type == "diverse_stable" \
-            else [noise_level]
+        # diverse_levels (percent) overrides the sigma set of both diverse
+        # regimes: diverse_stable replicates shapes per level; diverse mixes
+        # them per point (specialist models, e.g. a low-noise regime)
+        self.diverse_levels = list(diverse_levels) if diverse_levels else None
+        levels = list(self.diverse_levels or DIVERSE_LEVELS) \
+            if noise_type == "diverse_stable" else [noise_level]
         self.shapes: List[ShapeData] = []
         for lvl in levels:
             for name in names:
@@ -233,15 +246,20 @@ class OffsetDataset:
     # -- shape cache --------------------------------------------------------
     def _load_or_process(self, name, noise_type, noise_level, npts, outprop,
                          mesh=None) -> ShapeData:
+        # custom diverse sigma sets get their own cache entries (the mix is
+        # baked into the stored noisy cloud)
+        lvl_tag = "" if not (self.diverse_levels and noise_type == "diverse") \
+            else "_lv" + "-".join(f"{l:g}" for l in self.diverse_levels)
         tag = (f"{name.replace(os.sep, '_')}_{noise_type}_{noise_level:.2e}"
-               f"_{npts:06d}_{outprop:.2f}.pkl")
+               f"_{npts:06d}_{outprop:.2f}{lvl_tag}.pkl")
         cache = os.path.join(self.cache_dir, tag)
         if os.path.exists(cache):
             with open(cache, "rb") as f:
                 return pickle.load(f)
         data = process_off_file(
             os.path.join(self.data_root, name + ".off"), npts, outprop,
-            noise_type, noise_level, rng=self.rng, mesh=mesh)
+            noise_type, noise_level, rng=self.rng, mesh=mesh,
+            levels=self.diverse_levels)
         with open(cache, "wb") as f:
             pickle.dump(data, f)
         return data

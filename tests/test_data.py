@@ -204,3 +204,36 @@ def test_loader_worker_pool_deterministic(tmp_path):
     for b1, b4 in zip(serial, pooled):
         for k in b1:
             np.testing.assert_array_equal(b1[k], b4[k])
+
+
+def test_custom_diverse_levels(tmp_path):
+    """cfg.diverse_levels overrides the sigma set: diverse_stable
+    replicates shapes once per custom level (with matching noise
+    magnitudes), diverse mixes only the custom levels per point."""
+    from deep3dpointclouddenoising_tpu.data.offset_dataset import (
+        OffsetDataset)
+    from deep3dpointclouddenoising_tpu.data.synthetic import make_icosphere
+
+    kw = dict(in_radius=0.4, num_points=64, num_steps=2, num_epochs=1,
+              num_points_per_shape=1000, outlier_proportion=0.0, seed=5,
+              shapes={"train/sphere": make_icosphere(2)})
+
+    ds = OffsetDataset(str(tmp_path), "train", noise_type="diverse_stable",
+                       noise_level=5e-3, diverse_levels=[0.05, 0.1, 0.25],
+                       **kw)
+    assert len(ds.shapes) == 3  # one shape replica per custom level
+    rms = sorted(float(np.sqrt((s.offsets ** 2).mean())) for s in ds.shapes)
+    # noise magnitude tracks the level (offsets ~ -noise)
+    assert rms[0] < rms[1] < rms[2]
+    assert rms[2] < 0.5e-2  # max level 0.25% << default max 2.5%
+
+    ds_mix = OffsetDataset(str(tmp_path) + "/mix", "train",
+                           noise_type="diverse", noise_level=5e-3,
+                           diverse_levels=[0.05, 0.1, 0.25], **kw)
+    assert len(ds_mix.shapes) == 1
+    off = np.linalg.norm(ds_mix.shapes[0].offsets, axis=1)
+    # per-point mix of low sigmas only: the big-offset tail of the default
+    # 2.5% bin must be absent
+    assert np.quantile(off, 0.99) < 1.5e-2
+    # outlier labels use max(levels), not the hardcoded 2.5%
+    assert ds_mix.shapes[0].labels.sum() > 0
