@@ -59,6 +59,10 @@ class GANTrainer:
         # regimes with much smaller task losses the same 0.01 lets the BCE
         # term drag a converged generator away from the task optimum, so it
         # is configurable (cfg.gan_alpha).
+        # alpha enters the jitted steps as a TRACED argument, not a baked
+        # closure constant: sweeping cfg.gan_alpha (the usual knob on a new
+        # regime, RESULTS.md "GAN fine-tuning") reuses the compiled
+        # executable instead of paying a fresh remote compile per value.
         self.alpha = float(getattr(cfg, "gan_alpha", ALPHA))
         self.mesh = mesh if mesh is not None else make_mesh()
         world = self.mesh.devices.size
@@ -70,7 +74,7 @@ class GANTrainer:
         # states replicated and donated, like Trainer
         self._jit_update = jax.jit(
             self._update,
-            in_shardings=(self._repl, self._repl, None, None),
+            in_shardings=(self._repl, self._repl, None, None, self._repl),
             out_shardings=(self._repl, self._repl, self._repl),
             donate_argnums=(0, 1))
         self._jit_pretrain = jax.jit(
@@ -89,7 +93,7 @@ class GANTrainer:
         # always equals the host loop's global step index.
         self._jit_update_chunk = jax.jit(
             self._scan_update,
-            in_shardings=(self._repl, self._repl, None, None),
+            in_shardings=(self._repl, self._repl, None, None, self._repl),
             out_shardings=(self._repl, self._repl, self._repl),
             donate_argnums=(0, 1))
         self._jit_pretrain_chunk = jax.jit(
@@ -155,7 +159,8 @@ class GANTrainer:
 
     # -- joint GAN update ---------------------------------------------------
     def _update(self, gen_state: TrainState, disc_state: TrainState,
-                batch: Dict, rng) -> Tuple[TrainState, TrainState, Dict]:
+                batch: Dict, rng, alpha
+                ) -> Tuple[TrainState, TrainState, Dict]:
         r_gf, r_d, r_flip, r_g = jax.random.split(rng, 4)
         b = batch["points"].shape[0]
         mask2 = jnp.concatenate([batch["mask"], batch["mask"]])
@@ -172,7 +177,7 @@ class GANTrainer:
         def d_loss_fn(d_params):
             out, new_bs = self._disc_apply(d_params, disc_state.batch_stats,
                                            pts2, mask2, True, r_d)
-            return _bce(out, labels2) * self.alpha, (out, new_bs)
+            return _bce(out, labels2) * alpha, (out, new_bs)
 
         (err_d, (d_out, d_bs)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(disc_state.params)
@@ -198,7 +203,7 @@ class GANTrainer:
             err_g1 = _bce(d_score, g_labels)
             err_g2 = self.gen_loss(pred, batch["offsets"], batch["mask"],
                                    batch["points"])
-            return err_g1 * self.alpha + err_g2, (err_g1, err_g2, new_gbs)
+            return err_g1 * alpha + err_g2, (err_g1, err_g2, new_gbs)
 
         (err_g, (g1, g2, g_bs)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(gen_state.params)
@@ -216,7 +221,8 @@ class GANTrainer:
 
     def update(self, gen_state, disc_state, batch, rng):
         return self._jit_update(gen_state, disc_state,
-                                self.shard_batch(batch), rng)
+                                self.shard_batch(batch), rng,
+                                jnp.float32(self.alpha))
 
     def _chunk_place(self, chunk: Dict) -> Dict:
         """Stacked (S, B, ...) chunk placement: batch axis (axis 1) rides
@@ -230,11 +236,11 @@ class GANTrainer:
 
         return jax.tree_util.tree_map(_place, chunk)
 
-    def _scan_update(self, gen_state, disc_state, chunk, rng):
+    def _scan_update(self, gen_state, disc_state, chunk, rng, alpha):
         def body(carry, batch):
             gs, ds = carry
             step_rng = jax.random.fold_in(rng, ds.step)
-            gs, ds, metrics = self._update(gs, ds, batch, step_rng)
+            gs, ds, metrics = self._update(gs, ds, batch, step_rng, alpha)
             return (gs, ds), metrics
 
         (gs, ds), metrics = jax.lax.scan(body, (gen_state, disc_state),
@@ -245,7 +251,8 @@ class GANTrainer:
         """S GAN updates in one dispatch; returns (gen, disc, metrics) with
         each metric stacked to (S,)."""
         return self._jit_update_chunk(gen_state, disc_state,
-                                      self._chunk_place(chunk), rng)
+                                      self._chunk_place(chunk), rng,
+                                      jnp.float32(self.alpha))
 
     # -- discriminator pre-training ----------------------------------------
     def _pretrain_step(self, disc_state: TrainState, batch: Dict, rng):
