@@ -60,6 +60,31 @@ def _setup(platform: str | None, batch: int):
     return jax, cfg, model, loss_fn, b
 
 
+def analyze_model_flops(batch: int = BATCH) -> float:
+    """Algorithmic FLOPs of one eval forward, for the MFU numerator.
+
+    Counted from the CPU lowering of the same graph: on CPU
+    ``_pallas_mode`` resolves to the gather+einsum oracle path, so the
+    count covers the real algorithmic work (KPConv contractions, 1x1
+    convs, distance matrices) WITHOUT the one-hot-matmul gather trick the
+    TPU executable uses — those gather FLOPs are an implementation detail
+    (and XLA may rewrite them), not useful work, and counting them put the
+    round-2 "MFU" over 100%.  Standard MFU counts model FLOPs only."""
+    jax, cfg, model, _, b = _setup("cpu", batch)
+    variables = model.init(jax.random.PRNGKey(0), b["points"], b["mask"],
+                           b["features"], train=False)
+
+    @jax.jit
+    def forward(variables, points, mask, features):
+        return model.apply(variables, points, mask, features, train=False)
+
+    an = forward.lower(variables, b["points"], b["mask"],
+                       b["features"]).cost_analysis()
+    if isinstance(an, (list, tuple)):
+        an = an[0]
+    return float(an["flops"])
+
+
 def measure_forward_pps(iters: int = ITERS, batch: int = BATCH,
                         platform: str | None = None) -> float:
     """Pipelined (async-dispatch) eval-forward points/sec."""
@@ -114,8 +139,12 @@ def measure_all(batch: int = BATCH) -> dict:
     out.block_until_ready()
     dt_pipelined = time.perf_counter() - t0
 
-    # analyzed FLOPs of the compiled forward → achieved FLOP/s and MFU
-    # (the reference publishes no utilization figure at all)
+    # XLA-analyzed FLOPs of the compiled TPU executable.  This counts the
+    # work the device is asked to do — including the one-hot-matmul gather
+    # formulation of the fused kernel — so it is an UPPER bound on useful
+    # work, not the MFU numerator (round 2 used it as one and reported an
+    # impossible 149% MFU; the true model FLOPs come from
+    # analyze_model_flops in the CPU subprocess).
     try:
         an = forward.lower(v, *args).compile().cost_analysis()
         if isinstance(an, (list, tuple)):
@@ -196,7 +225,7 @@ def measure_all(batch: int = BATCH) -> dict:
 
     pts = batch * int(cfg.num_points)
     have_flops = fwd_flops == fwd_flops  # cost_analysis can fail → NaN
-    achieved = fwd_flops * ITERS / dt_pipelined  # FLOP/s
+    executed = fwd_flops * ITERS / dt_pipelined  # FLOP/s, incl. gather trick
     kind = jax.devices()[0].device_kind.lower()
     # documented bf16 MXU peaks per chip; f32 math runs at half of these
     peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
@@ -204,10 +233,11 @@ def measure_all(batch: int = BATCH) -> dict:
     peak = next((p for k, p in peaks.items() if k in kind), None)
     return {
         "forward_pipelined_pps": pts * ITERS / dt_pipelined,
-        "forward_gflops_per_call": fwd_flops / 1e9 if have_flops else None,
-        "achieved_tflops_per_s": achieved / 1e12 if have_flops else None,
-        "mfu_pct_bf16_peak": (100 * achieved / peak)
-        if (peak and have_flops) else None,
+        "forward_pipelined_ms": 1e3 * dt_pipelined / ITERS,
+        "xla_executed_gflops_per_call": fwd_flops / 1e9 if have_flops
+        else None,
+        "xla_executed_tflops_per_s": executed / 1e12 if have_flops else None,
+        "bf16_peak_tflops": peak / 1e12 if peak else None,
         "forward_synced_ms": 1e3 * statistics.median(lat),
         "forward_synced_ms_min": 1e3 * min(lat),
         "train_step_pipelined_pps": pts * TRAIN_ITERS / dt_train,
@@ -221,22 +251,28 @@ def measure_all(batch: int = BATCH) -> dict:
     }
 
 
-def _cpu_baseline_pps() -> float:
-    """Measure the same forward on the CPU backend in a subprocess."""
+def _cpu_baseline() -> dict:
+    """CPU-backend forward pps (the >=10x north-star denominator) plus the
+    algorithmic model FLOPs (the MFU numerator), in one subprocess."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     code = ("import bench, json;"
-            "print(json.dumps(bench.measure_forward_pps("
-            "iters=3, batch=4, platform='cpu')))")
+            "print('CPU_JSON ' + json.dumps("
+            "{'pps': bench.measure_forward_pps(iters=3, batch=4,"
+            " platform='cpu'),"
+            " 'model_flops': bench.analyze_model_flops()}))")
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=1200)
-        return float(out.stdout.strip().splitlines()[-1])
+            timeout=1800)
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_JSON "):
+                return json.loads(line[len("CPU_JSON "):])
     except Exception:
-        return float("nan")
+        pass
+    return {"pps": float("nan"), "model_flops": float("nan")}
 
 
 def main():
@@ -274,9 +310,19 @@ def main():
             "error": f"TPU unavailable after retries: {last_err}",
         }))
         return
-    cpu_pps = _cpu_baseline_pps()
+    cpu = _cpu_baseline()
+    cpu_pps = cpu["pps"]
     pps = detail["forward_pipelined_pps"]
     vs = pps / (10.0 * cpu_pps) if cpu_pps == cpu_pps else None
+    # MFU = algorithmic model FLOPs (CPU lowering — no gather-trick
+    # inflation) / pipelined wall per call / chip bf16 peak
+    mf = cpu["model_flops"]
+    peak = detail.get("bf16_peak_tflops")
+    if mf == mf and peak and detail.get("forward_pipelined_ms"):
+        detail["model_gflops_per_call"] = mf / 1e9
+        detail["mfu_pct_bf16_peak"] = (
+            100.0 * mf / (detail["forward_pipelined_ms"] * 1e-3)
+            / (peak * 1e12))
     print(json.dumps({
         "metric": "denoised_points_per_sec_chip",
         "value": round(pps, 1),

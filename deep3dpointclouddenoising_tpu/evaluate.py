@@ -116,6 +116,40 @@ def chamfer_ratio_table(clean: Sequence[np.ndarray],
     return table
 
 
+def estimate_noise_sigma(points: np.ndarray, k: int = 16,
+                         sample: int = 4096, seed: int = 0) -> float:
+    """Train-free estimate of a cloud's gaussian noise sigma.
+
+    Local-plane residual: for a random sample of points, take the ``k``
+    nearest neighbors, PCA the neighborhood, and read the out-of-plane
+    residual as sqrt of the smallest covariance eigenvalue.  For per-axis
+    gaussian noise of std sigma on a locally-flat sampled surface the
+    smallest eigenvalue is ~sigma^2 (curvature adds a small positive
+    bias), so the median over samples recovers sigma to within tens of
+    percent — enough to pick a denoising regime.
+
+    The reference has no such estimator; its report §5.2 notes the L1
+    U-Net *fails* at sigma=0.1% (CD ratio 1.45) because one checkpoint
+    cannot serve both regimes.  This estimator powers the inference-time
+    checkpoint router (scripts/infer.py --checkpoint_low/--route_sigma)
+    that ships both regimes behind one command.
+    """
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(points, np.float64)
+    if len(pts) <= k:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    take = pts if len(pts) <= sample else \
+        pts[rng.choice(len(pts), sample, replace=False)]
+    _, idx = cKDTree(pts).query(take, k=k, workers=-1)
+    nbr = pts[idx]
+    nbr = nbr - nbr.mean(axis=1, keepdims=True)
+    cov = np.einsum("ski,skj->sij", nbr, nbr) / k
+    lam = np.linalg.eigvalsh(cov)  # ascending per row
+    return float(np.median(np.sqrt(np.maximum(lam[:, 0], 0.0))))
+
+
 def performance_table(clean: Sequence[np.ndarray],
                       clouds: Sequence[np.ndarray],
                       outlier_threshold: float = 0.05,

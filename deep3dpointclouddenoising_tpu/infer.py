@@ -470,6 +470,40 @@ def denoise_clouds_spatial(variables, cfg, dataset: OffsetDataset,
     return results
 
 
+def make_routed_predict_fn(predict_hi, predict_lo,
+                           route_low: np.ndarray):
+    """Per-cloud checkpoint routing inside one voting run.
+
+    The report's single-checkpoint U-Net fails at sigma=0.1% (CD ratio
+    1.45, report §5.2) while this build's ``diverse_stable`` checkpoint
+    improves that regime but gives up a little at sigma=0.5% (RESULTS.md).
+    This wrapper serves both from ONE inference command: every batch runs
+    through both predictors (each jitted with weights-as-argument, so
+    they share one executable) and each patch keeps the prediction of the
+    checkpoint its cloud was routed to by
+    :func:`..evaluate.estimate_noise_sigma`.
+
+    Args:
+      predict_hi / predict_lo: ``batch -> (B, N, C)`` predictors (the
+        high-noise / low-noise checkpoints).
+      route_low: per-cloud bool array; True routes that cloud's patches
+        to ``predict_lo``.
+
+    The select stays on device (``jnp.where``) so the voting loop's
+    late-sync pipelining is preserved.
+    """
+    route_dev = jnp.asarray(np.asarray(route_low, bool))
+
+    def predict(batch):
+        hi = predict_hi(batch)
+        lo = predict_lo(batch)
+        sel = route_dev[jnp.asarray(np.asarray(batch["cloud_ind"],
+                                               np.int32))]
+        return jnp.where(sel[:, None, None], lo, hi)
+
+    return predict
+
+
 def make_predict_fn(model, variables, raw: bool = False,
                     norm_factor: Optional[float] = None,
                     scale_outputs: bool = True):

@@ -55,6 +55,15 @@ def main():
                    help="augmentation-based voting rounds: rounds past the "
                         "first rotate patches by a random z-angle, predict, "
                         "and rotate the offsets back before vote-averaging")
+    p.add_argument("--checkpoint_low", type=str, default=None,
+                   help="low-noise-regime checkpoint (e.g. diverse_stable); "
+                        "each cloud's noise sigma is estimated train-free "
+                        "(evaluate.estimate_noise_sigma) and clouds below "
+                        "--route_sigma are denoised with this checkpoint "
+                        "instead of --checkpoint")
+    p.add_argument("--route_sigma", type=float, default=0.002,
+                   help="routing threshold (absolute sigma, bbox diag = 1) "
+                        "for --checkpoint_low")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--noise_level", type=float, default=None,
                    help="override the eval noise sigma (fraction of the "
@@ -103,6 +112,26 @@ def main():
     # rescales the raw outputs directly
     predict = make_predict_fn(model, variables, norm_factor=norm_factor,
                               scale_outputs=not args.full_cleaning)
+
+    if args.checkpoint_low:
+        if args.device_voting or args.spatial:
+            p.error("--checkpoint_low routes through the host voting path")
+        from deep3dpointclouddenoising_tpu.evaluate import \
+            estimate_noise_sigma
+        from deep3dpointclouddenoising_tpu.infer import \
+            make_routed_predict_fn
+        state_lo = load_checkpoint(args.checkpoint_low)
+        variables_lo = {"params": state_lo["params"],
+                        "batch_stats": state_lo["batch_stats"]}
+        predict_lo = make_predict_fn(model, variables_lo,
+                                     norm_factor=norm_factor,
+                                     scale_outputs=not args.full_cleaning)
+        sigmas = [estimate_noise_sigma(s.points) for s in dataset.shapes]
+        route_low = np.asarray([s < args.route_sigma for s in sigmas])
+        for name, sg, lo in zip(dataset.cloud_names, sigmas, route_low):
+            print(f"route {os.path.basename(name)}: est sigma {sg:.2e} -> "
+                  f"{'LOW' if lo else 'HIGH'}-noise checkpoint")
+        predict = make_routed_predict_fn(predict, predict_lo, route_low)
 
     if args.device_voting:
         if args.full_cleaning or args.spatial or args.num_votes > 1:

@@ -273,3 +273,38 @@ def test_multi_vote_full_cleaning_physical_offsets(test_dataset):
     # offsets are physical (tanh applied before averaging): bounded by the
     # 0.1 * |centered patch coords| scale, far below the raw-logit scale
     assert np.all(np.abs(one[0][:, :3]) <= 0.1 * 1.001)
+
+
+def test_estimate_noise_sigma_recovers_scale(rng):
+    # a densely-sampled sphere with per-axis gaussian noise: the local
+    # plane-residual estimate must recover sigma within tens of percent
+    # and order the regimes correctly (the router only needs the ordering)
+    from deep3dpointclouddenoising_tpu.evaluate import estimate_noise_sigma
+
+    u = rng.standard_normal((60000, 3))
+    surface = 0.5 * u / np.linalg.norm(u, axis=1, keepdims=True)
+    estimates = {}
+    for sigma in (0.001, 0.005):
+        noisy = surface + sigma * rng.standard_normal(surface.shape)
+        estimates[sigma] = estimate_noise_sigma(noisy, seed=1)
+    assert estimates[0.005] == pytest.approx(0.005, rel=0.4)
+    assert estimates[0.001] < 0.002 < estimates[0.005]
+
+
+def test_routed_predictor_selects_per_cloud(test_dataset):
+    # clouds routed LOW get predict_lo's output, others predict_hi's —
+    # verified through the full voting pipeline
+    from deep3dpointclouddenoising_tpu.infer import make_routed_predict_fn
+
+    def hi(batch):
+        return np.ones(batch["points"].shape[:2] + (3,), np.float32)
+
+    def lo(batch):
+        return -np.ones(batch["points"].shape[:2] + (3,), np.float32)
+
+    for route, want in ((np.array([True]), -1.0), (np.array([False]), 1.0)):
+        routed = make_routed_predict_fn(hi, lo, route)
+        votes = predict_offsets_voting(routed, test_dataset, batch_size=2)
+        covered = np.abs(votes[0]).max(axis=1) > 0
+        assert covered.any()
+        np.testing.assert_allclose(votes[0][covered], want, atol=1e-6)
