@@ -104,6 +104,30 @@ for stage in $STAGES; do
       infer_cd chl1_$sig cfgs/synthetic_quality_chamfer_l1.yaml $sig \
         --checkpoint "$QD/synthetic_quality_chamfer_l1/current"
     done ;;
+  chamfer)
+    sup synthetic_quality_chamfer python scripts/train.py \
+      --config_file cfgs/synthetic_quality_chamfer.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd ch_$sig cfgs/synthetic_quality_chamfer.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_chamfer/current"
+    done ;;
+  stable)
+    sup synthetic_quality_diverse_stable python scripts/train.py \
+      --config_file cfgs/synthetic_quality_diverse_stable.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd stable_$sig cfgs/synthetic_quality_diverse_stable.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_diverse_stable/current"
+    done ;;
+  routed)
+    # both-regime deployment behind ONE command: per-cloud noise estimate
+    # routes between the flagship (mix) and diverse_stable checkpoints
+    for sig in 0.005 0.001; do
+      infer_cd routed_$sig cfgs/synthetic_quality_diverse.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_diverse/current" \
+        --checkpoint_low "$QD/synthetic_quality_diverse_stable/current"
+    done ;;
   *) note "unknown stage: $stage" ;;
   esac
 done
