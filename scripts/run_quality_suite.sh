@@ -120,6 +120,22 @@ for stage in $STAGES; do
       infer_cd stable_$sig cfgs/synthetic_quality_diverse_stable.yaml $sig \
         --checkpoint "$QD/synthetic_quality_diverse_stable/current"
     done ;;
+  stable_low)
+    sup synthetic_quality_stable_low python scripts/train.py \
+      --config_file cfgs/synthetic_quality_stable_low.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd stlow_$sig cfgs/synthetic_quality_stable_low.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_stable_low/current"
+    done ;;
+  routed_low)
+    # flagship for high-noise clouds, the low-noise SPECIALIST below the
+    # routing threshold — the deployment configuration
+    for sig in 0.005 0.001; do
+      infer_cd rtlow_$sig cfgs/synthetic_quality_diverse.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_diverse/current" \
+        --checkpoint_low "$QD/synthetic_quality_stable_low/current"
+    done ;;
   routed)
     # both-regime deployment behind ONE command: per-cloud noise estimate
     # routes between the flagship (mix) and diverse_stable checkpoints
