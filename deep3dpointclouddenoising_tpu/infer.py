@@ -192,7 +192,10 @@ def predict_offsets_voting_device(model, variables, cfg,
                                   batch_size: int = 16,
                                   num_outputs: int = 3,
                                   tanh_offsets: bool = False,
-                                  scale: Optional[float] = None
+                                  scale: Optional[float] = None,
+                                  num_votes: int = 1,
+                                  rng_seed: int = 0,
+                                  apply_fn=None,
                                   ) -> List[np.ndarray]:
     """Device-resident voting: the whole protocol of
     ``predict_offsets_voting`` — patch extraction, forward, per-point vote
@@ -201,11 +204,23 @@ def predict_offsets_voting_device(model, variables, cfg,
     and the vote accumulators live on device; a single D2H transfer at the
     end returns the (n_clouds, max_points, C) sums and counts.
 
-    Semantics match the host path with num_votes=1 (same patch point sets;
-    pad slots carry mask 0 and never vote).  ``scale`` multiplies raw
-    predictions (offset-regression norm checkpoints); ``tanh_offsets``
-    applies tanh to the first 3 channels before accumulation
-    (full-cleaning)."""
+    Semantics match the host path (same patch point sets; pad slots carry
+    mask 0 and never vote).  ``scale`` multiplies raw predictions
+    (offset-regression norm checkpoints); ``tanh_offsets`` applies tanh to
+    the first 3 channels before accumulation (full-cleaning).
+
+    ``num_votes > 1`` runs the augmentation-voting rounds ON DEVICE too:
+    vote rounds past the first rotate every patch by a random z-angle
+    inside the scan, predict, apply tanh (if any), and rotate the offset
+    channels back before accumulating — the host path's per-round einsums
+    (``predict_offsets_voting``) folded into the same executable, so K
+    votes cost K scans of device time and still one D2H sync.  Raw-xyz
+    features are re-derived as the rotated points; Fourier features are
+    recomputed from the rotated patch with the dataset's fixed projection.
+
+    ``apply_fn(variables, batch) -> (B, N, num_outputs)`` overrides the
+    model forward (tests inject oracles; the batch's ``offsets`` are
+    rotated consistently with its points)."""
     from .data.device_sampler import DeviceSampler
 
     sampler = DeviceSampler(dataset, cfg)
@@ -224,6 +239,11 @@ def predict_offsets_voting_device(model, variables, cfg,
     centers = centers_all.reshape(steps, batch_size, 2)
     valid = valid.reshape(steps, batch_size)
     n_shapes, max_n = data["points"].shape[:2]
+    if apply_fn is None:
+        def apply_fn(variables, batch):
+            return model.apply(variables, batch["points"], batch["mask"],
+                               batch["features"], train=False)
+    fourier = bool(getattr(dataset, "fourier_features", False))
 
     @jax.jit
     def run(variables, data, centers, valid):
@@ -231,15 +251,44 @@ def predict_offsets_voting_device(model, variables, cfg,
         counts = jnp.zeros((n_shapes, max_n, 1), jnp.float32)
 
         def body(carry, inp):
-            sums, counts = carry
+            sums, counts, i = carry
             c, v = inp
             batch = sampler.sample(data, c, jax.random.PRNGKey(0),
                                    augment=False)
-            pred = model.apply(variables, batch["points"], batch["mask"],
-                               batch["features"], train=False)
+            vote = i // steps  # scan order: all steps of vote 0, then 1, …
+            rotate = (vote > 0).astype(jnp.float32)
+            theta = rotate * jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(rng_seed), i),
+                (c.shape[0],), maxval=2.0 * jnp.pi)
+            cz, sz = jnp.cos(theta), jnp.sin(theta)
+            zero, one = jnp.zeros_like(cz), jnp.ones_like(cz)
+            rot = jnp.stack([
+                jnp.stack([cz, -sz, zero], -1),
+                jnp.stack([sz, cz, zero], -1),
+                jnp.stack([zero, zero, one], -1)], -2)  # (B, 3, 3)
+            pts = jnp.einsum("bni,bij->bnj", batch["points"], rot)
+            if fourier:
+                f = sampler.norm_factor
+                proj = (2.0 * jnp.pi * (pts * f if f else pts)) \
+                    @ data["fourier_B"].T
+                feats = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)],
+                                        axis=-1)
+                if f:
+                    feats = feats / f
+            else:
+                feats = pts
+            batch = dict(batch, points=pts, features=feats,
+                         offsets=jnp.einsum("bni,bij->bnj",
+                                            batch["offsets"], rot))
+            pred = apply_fn(variables, batch)
             if tanh_offsets:
                 pred = jnp.concatenate(
                     [jnp.tanh(pred[..., :3]), pred[..., 3:]], axis=-1)
+            # un-rotate the (physical, post-tanh) offset channels — the
+            # host path's _drain_one order
+            pred = jnp.concatenate(
+                [jnp.einsum("bni,bji->bnj", pred[..., :3], rot),
+                 pred[..., 3:]], axis=-1)
             if scale:
                 pred = jnp.concatenate(
                     [pred[..., :3] * scale, pred[..., 3:]], axis=-1)
@@ -248,10 +297,12 @@ def predict_offsets_voting_device(model, variables, cfg,
             inds = batch["input_inds"]
             sums = sums.at[ci, inds].add(pred * w[..., None])
             counts = counts.at[ci, inds].add(w[..., None])
-            return (sums, counts), None
+            return (sums, counts, i + 1), None
 
-        (sums, counts), _ = jax.lax.scan(body, (sums, counts),
-                                         (centers, valid))
+        centers_v = jnp.concatenate([centers] * num_votes)
+        valid_v = jnp.concatenate([valid] * num_votes)
+        (sums, counts, _), _ = jax.lax.scan(
+            body, (sums, counts, jnp.int32(0)), (centers_v, valid_v))
         return sums, counts
 
     sums, counts = jax.device_get(run(jax.device_put(variables), data,
@@ -267,12 +318,14 @@ def predict_offsets_voting_device(model, variables, cfg,
 
 def denoise_clouds_device(model, variables, cfg, dataset: OffsetDataset,
                           batch_size: int = 16,
-                          scale: Optional[float] = None
+                          scale: Optional[float] = None,
+                          num_votes: int = 1
                           ) -> List[Dict[str, np.ndarray]]:
     """Offset-regression denoising through the device-resident voting path
     (one jitted scan; see ``predict_offsets_voting_device``)."""
     offsets = predict_offsets_voting_device(
-        model, variables, cfg, dataset, batch_size, 3, scale=scale)
+        model, variables, cfg, dataset, batch_size, 3, scale=scale,
+        num_votes=num_votes)
     results = []
     for shape, off in zip(dataset.shapes, offsets):
         results.append({

@@ -45,8 +45,9 @@ def main():
     p.add_argument("--device_voting", action="store_true",
                    help="run the whole voting protocol on device (clouds "
                         "resident, patch extraction + forward + vote "
-                        "scatter in one jitted scan); offset regression, "
-                        "num_votes=1")
+                        "scatter in one jitted scan, incl. augmentation "
+                        "vote rounds when --num_votes > 1); offset "
+                        "regression")
     p.add_argument("--spatial", action="store_true",
                    help="denoise each full cloud in one forward with the "
                         "point axis sharded over the device mesh "
@@ -134,12 +135,12 @@ def main():
         predict = make_routed_predict_fn(predict, predict_lo, route_low)
 
     if args.device_voting:
-        if args.full_cleaning or args.spatial or args.num_votes > 1:
-            p.error("--device_voting supports offset regression with "
-                    "num_votes=1")
+        if args.full_cleaning or args.spatial:
+            p.error("--device_voting supports offset regression")
         results = denoise_clouds_device(model, variables, cfg, dataset,
                                         batch_size=cfg.batch_size,
-                                        scale=norm_factor)
+                                        scale=norm_factor,
+                                        num_votes=args.num_votes)
     elif args.spatial:
         if args.full_cleaning:
             p.error("--spatial supports offset regression only")

@@ -253,3 +253,55 @@ def test_device_pcn_matches_host(tmp_path):
                                     batch_size=16, chunk_steps=4)
     np.testing.assert_allclose(host[0]["offsets"], dev[0]["offsets"],
                                atol=1e-5)
+
+
+def test_device_voting_multivote_unrotation(tmp_path):
+    """On-device augmentation votes: an oracle that returns the batch's own
+    (rotated) gt offsets must vote-average back to the UNROTATED gt — pins
+    the rotate -> predict -> un-rotate -> accumulate chain across rounds."""
+    from deep3dpointclouddenoising_tpu.infer import \
+        predict_offsets_voting_device
+
+    shapes = {"sphere": make_icosphere(2)}
+    ds = OffsetDataset(str(tmp_path), "qualitative_test", in_radius=0.4,
+                       num_points=64, num_steps=1, num_epochs=1,
+                       num_points_per_shape=1000, noise_type="gaussian",
+                       noise_level=0.005, shapes=shapes, seed=0,
+                       sample_dl_patches=0.4)
+    cfg = make_cfg(num_points=64, in_radius=0.4)
+
+    def oracle(variables, batch):
+        return batch["offsets"]
+
+    votes = predict_offsets_voting_device(None, {}, cfg, ds, batch_size=4,
+                                          num_votes=3, apply_fn=oracle)
+    gt = ds.shapes[0].offsets
+    covered = np.abs(votes[0]).max(axis=1) > 0
+    assert covered.sum() > 500
+    np.testing.assert_allclose(votes[0][covered], gt[covered], atol=5e-5)
+
+
+def test_device_voting_multivote_fourier(tmp_path):
+    """Fourier features are recomputed from the rotated patch inside the
+    vote scan (compile + oracle correctness)."""
+    from deep3dpointclouddenoising_tpu.infer import \
+        predict_offsets_voting_device
+
+    shapes = {"sphere": make_icosphere(2)}
+    ds = OffsetDataset(str(tmp_path), "qualitative_test", in_radius=0.4,
+                       num_points=64, num_steps=1, num_epochs=1,
+                       num_points_per_shape=1000, noise_type="gaussian",
+                       noise_level=0.005, shapes=shapes, seed=0,
+                       sample_dl_patches=0.4, fourier_features=True)
+    cfg = make_cfg(num_points=64, in_radius=0.4)
+    cfg.fourier_features = 1
+
+    def oracle(variables, batch):
+        # consume the features so the fourier recompute is in the graph
+        return batch["offsets"] + 0.0 * batch["features"][..., :3]
+
+    votes = predict_offsets_voting_device(None, {}, cfg, ds, batch_size=4,
+                                          num_votes=2, apply_fn=oracle)
+    gt = ds.shapes[0].offsets
+    covered = np.abs(votes[0]).max(axis=1) > 0
+    np.testing.assert_allclose(votes[0][covered], gt[covered], atol=5e-5)
