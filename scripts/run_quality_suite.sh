@@ -63,6 +63,18 @@ for stage in $STAGES; do
         --pcn --device_voting \
         --checkpoint "$QD/synthetic_quality_pcn/current"
     done ;;
+  pcn3)
+    # regime-matched PCN baseline (uniform per-shape noise) — see the
+    # cfgs/synthetic_quality_pcn3.yaml header for why the mix-trained
+    # pcn/pcn2 rows overshoot at uniform-noise eval
+    sup synthetic_quality_pcn3 python scripts/train_pcn.py \
+      --config_file cfgs/synthetic_quality_pcn3.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd pcn3_$sig cfgs/synthetic_quality_pcn3.yaml $sig \
+        --pcn --device_voting \
+        --checkpoint "$QD/synthetic_quality_pcn3/current"
+    done ;;
   unet)
     sup synthetic_quality_diverse python scripts/train.py \
       --config_file cfgs/synthetic_quality_diverse.yaml \
