@@ -114,9 +114,10 @@ def main():
     predict = make_predict_fn(model, variables, norm_factor=norm_factor,
                               scale_outputs=not args.full_cleaning)
 
+    variables_lo = route_low = None
     if args.checkpoint_low:
-        if args.device_voting or args.spatial:
-            p.error("--checkpoint_low routes through the host voting path")
+        if args.spatial:
+            p.error("--checkpoint_low routes the voting paths only")
         from deep3dpointclouddenoising_tpu.evaluate import \
             estimate_noise_sigma
         from deep3dpointclouddenoising_tpu.infer import \
@@ -141,6 +142,17 @@ def main():
                                         batch_size=cfg.batch_size,
                                         scale=norm_factor,
                                         num_votes=args.num_votes)
+        if route_low is not None and route_low.any():
+            # per-cloud routing on the device path: the jitted scan takes
+            # the weights as an argument, so the low-noise pass reuses the
+            # same executable; keep the low-checkpoint result for routed
+            # clouds (host routing composes predict fns instead)
+            results_lo = denoise_clouds_device(
+                model, variables_lo, cfg, dataset,
+                batch_size=cfg.batch_size, scale=norm_factor,
+                num_votes=args.num_votes)
+            results = [lo_r if lo else hi_r for hi_r, lo_r, lo
+                       in zip(results, results_lo, route_low)]
     elif args.spatial:
         if args.full_cleaning:
             p.error("--spatial supports offset regression only")

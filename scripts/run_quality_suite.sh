@@ -138,13 +138,17 @@ for stage in $STAGES; do
       --data_root "$DR" --log_dir "$QD" --auto_resume
     for sig in 0.005 0.001; do
       infer_cd stlow_$sig cfgs/synthetic_quality_stable_low.yaml $sig \
+        --device_voting \
         --checkpoint "$QD/synthetic_quality_stable_low/current"
     done ;;
   routed_low)
     # flagship for high-noise clouds, the low-noise SPECIALIST below the
-    # routing threshold — the deployment configuration
+    # routing threshold — the deployment configuration (device voting
+    # routes per cloud by re-running the shared executable with the low
+    # checkpoint's weights)
     for sig in 0.005 0.001; do
       infer_cd rtlow_$sig cfgs/synthetic_quality_diverse.yaml $sig \
+        --device_voting \
         --checkpoint "$QD/synthetic_quality_diverse/current" \
         --checkpoint_low "$QD/synthetic_quality_stable_low/current"
     done ;;
