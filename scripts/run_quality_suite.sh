@@ -116,6 +116,26 @@ for stage in $STAGES; do
       infer_cd chl1_$sig cfgs/synthetic_quality_chamfer_l1.yaml $sig \
         --checkpoint "$QD/synthetic_quality_chamfer_l1/current"
     done ;;
+  chamfer_sparse)
+    # report section 5.2 row "Chamfer(L1)" — L1-norm chamfer, the
+    # reference's worst loss (1.6 @ 0.5%, 54.14 @ 0.1%)
+    sup synthetic_quality_chamfer_sparse python scripts/train.py \
+      --config_file cfgs/synthetic_quality_chamfer_sparse.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd chsp_$sig cfgs/synthetic_quality_chamfer_sparse.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_chamfer_sparse/current"
+    done ;;
+  l1_chamfer_sparse)
+    # report section 5.2 row "Chamfer(L1)+L1" (0.39 @ 0.5%, 19.44 @ 0.1%)
+    sup synthetic_quality_l1_chamfer_sparse python scripts/train.py \
+      --config_file cfgs/synthetic_quality_l1_chamfer_sparse.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd l1chsp_$sig cfgs/synthetic_quality_l1_chamfer_sparse.yaml \
+        $sig \
+        --checkpoint "$QD/synthetic_quality_l1_chamfer_sparse/current"
+    done ;;
   chamfer)
     sup synthetic_quality_chamfer python scripts/train.py \
       --config_file cfgs/synthetic_quality_chamfer.yaml \
