@@ -246,9 +246,36 @@ def measure_all(batch: int = BATCH) -> dict:
         "train_chunk_step_ms": 1e3 * dt_chunk / (3 * S),
         "train_sampled_pps": pts * 3 * S / dt_sampled,
         "train_sampled_step_ms": 1e3 * dt_sampled / (3 * S),
+        "host_patch_assembly_ms": _host_loader_ms(int(cfg.num_points)),
         "batch": batch,
         "num_points": int(cfg.num_points),
     }
+
+
+def _host_loader_ms(num_points: int, n_cloud: int = 140_000,
+                    iters: int = 100) -> float | None:
+    """ms per patch for the native fused assembler (d3d_assemble_patch) at
+    the reference training geometry: in_radius 2.0 over a unit cloud, i.e.
+    every query ranks the whole cloud.  Host-only (no device work)."""
+    import numpy as np
+
+    from deep3dpointclouddenoising_tpu.utils.native import (GridIndex,
+                                                            native_available)
+    if not native_available():
+        return None
+    rng = np.random.default_rng(0)
+    pts = ((rng.random((n_cloud, 3), dtype=np.float32) - 0.5) * 0.9)
+    offs = (rng.standard_normal((n_cloud, 3)) * 0.01).astype(np.float32)
+    labs = rng.integers(0, 2, n_cloud).astype(np.int32)
+    idx = GridIndex(pts, cell=2.0)
+    centers = rng.integers(0, n_cloud, iters)
+    idx.assemble_patch(pts[centers[0]], int(centers[0]), 2.0, num_points,
+                       seed=(0, 0), offsets=offs, labels=labs)
+    t0 = time.perf_counter()
+    for i, c in enumerate(centers):
+        idx.assemble_patch(pts[c], int(c), 2.0, num_points, seed=(0, i),
+                           offsets=offs, labels=labs)
+    return 1e3 * (time.perf_counter() - t0) / iters
 
 
 def _cpu_baseline() -> dict:

@@ -183,7 +183,8 @@ class OffsetDataset:
                  subsampling_parameter: float = 0.0,
                  debug: bool = False, seed: int = 0,
                  shapes: Optional[Dict[str, TriMesh]] = None,
-                 diverse_levels: Optional[Sequence[float]] = None):
+                 diverse_levels: Optional[Sequence[float]] = None,
+                 native_patches: bool = True):
         if "test" not in split:
             assert num_steps * num_epochs % 2 == 0, \
                 "balanced inlier/outlier interleave needs an even table"
@@ -197,6 +198,10 @@ class OffsetDataset:
         self.fourier_features = fourier_features
         self.subsampling_parameter = subsampling_parameter
         self.epoch = 0
+        # fused C patch assembly (own deterministic random stream); the
+        # numpy path below stays as the semantic oracle + fallback
+        self.native_patches = native_patches \
+            and os.environ.get("D3D_DISABLE_NATIVE") != "1"
         self.rng = np.random.default_rng(seed)
         self._sample_seed = 0 if seed is None else int(seed)
         self.fourier_B = self.rng.normal(0.0, 12.0, size=(32, 3))
@@ -321,41 +326,56 @@ class OffsetDataset:
 
         pick = shape.points[point_ind].reshape(1, 3) \
             + self.center_noise[index].astype(np.float32)
-        # sorted-by-distance radius query (:630-633), retry doubled
-        # (:640-652); sorting happens inside the native index
         spatial_index = self.indexes[cloud_ind]
-        query_inds, total = spatial_index.query_radius_sorted(
-            pick[0], self.in_radius)
-        if total == 0:
-            query_inds, _ = spatial_index.query_radius_sorted(
-                pick[0], 2 * self.in_radius)
-        query_inds = query_inds.astype(np.int64)
-        cur = len(query_inds)
 
-        if self.num_points < cur:
-            keep = query_inds[: self.num_points]
-            input_inds = keep[rng.permutation(self.num_points)]
-            mask = np.ones(self.num_points, np.float32)
+        # fused native assembly (one C call: query + pad/truncate + shuffle
+        # + center swap + gather + recenter); Python path is the fallback
+        # and the semantic oracle (tests/test_native.py)
+        native = spatial_index.assemble_patch(
+            pick[0], point_ind, self.in_radius, self.num_points,
+            pcn=self.architecture == "PCN",
+            seed=(self._sample_seed, index),
+            offsets=shape.offsets, labels=shape.labels) \
+            if self.native_patches else None
+        if native is not None:
+            points, offsets, labels, mask, input_inds, _ = native
+            labels = labels.astype(np.int32)
         else:
-            if "U-Net" in self.architecture:
-                query_inds = query_inds[rng.permutation(cur)]
-                pad = rng.integers(0, cur, self.num_points - cur)
-                input_inds = np.concatenate([query_inds, query_inds[pad]])
-            else:  # PCN pads with point 0 of the cloud (:666-668)
-                pad = np.zeros(self.num_points - cur, dtype=np.int64)
-                input_inds = np.concatenate([query_inds, pad])
-            mask = np.zeros(self.num_points, np.float32)
-            mask[:cur] = 1.0
+            # sorted-by-distance radius query (:630-633), retry doubled
+            # (:640-652); sorting happens inside the native index
+            query_inds, total = spatial_index.query_radius_sorted(
+                pick[0], self.in_radius)
+            if total == 0:
+                query_inds, _ = spatial_index.query_radius_sorted(
+                    pick[0], 2 * self.in_radius)
+            query_inds = query_inds.astype(np.int64)
+            cur = len(query_inds)
 
-        # swap the true center into slot 0 (:677-685)
-        where = np.nonzero(input_inds == point_ind)[0]
-        ci = int(where[0]) if len(where) \
-            else int(np.nonzero(input_inds == query_inds[0])[0][0])
-        input_inds[0], input_inds[ci] = input_inds[ci], input_inds[0]
+            if self.num_points < cur:
+                keep = query_inds[: self.num_points]
+                input_inds = keep[rng.permutation(self.num_points)]
+                mask = np.ones(self.num_points, np.float32)
+            else:
+                if "U-Net" in self.architecture:
+                    query_inds = query_inds[rng.permutation(cur)]
+                    pad = rng.integers(0, cur, self.num_points - cur)
+                    input_inds = np.concatenate(
+                        [query_inds, query_inds[pad]])
+                else:  # PCN pads with point 0 of the cloud (:666-668)
+                    pad = np.zeros(self.num_points - cur, dtype=np.int64)
+                    input_inds = np.concatenate([query_inds, pad])
+                mask = np.zeros(self.num_points, np.float32)
+                mask[:cur] = 1.0
 
-        points = shape.points[input_inds] - pick
-        offsets = shape.offsets[input_inds]
-        labels = shape.labels[input_inds]
+            # swap the true center into slot 0 (:677-685)
+            where = np.nonzero(input_inds == point_ind)[0]
+            ci = int(where[0]) if len(where) \
+                else int(np.nonzero(input_inds == query_inds[0])[0][0])
+            input_inds[0], input_inds[ci] = input_inds[ci], input_inds[0]
+
+            points = shape.points[input_inds] - pick
+            offsets = shape.offsets[input_inds]
+            labels = shape.labels[input_inds]
 
         if self.transforms is not None:
             stack = np.concatenate([points, offsets], axis=0)

@@ -121,8 +121,11 @@ class OutlierSegmentationDataset:
                  in_radius: float = 2.0, num_points: int = 15000,
                  num_steps: int = 500, num_epochs: int = 1,
                  feature_drop: float = 0.0, transforms=None,
-                 debug: bool = False, seed: int = 0):
+                 debug: bool = False, seed: int = 0,
+                 native_patches: bool = True):
         self.split = split
+        self.native_patches = native_patches \
+            and os.environ.get("D3D_DISABLE_NATIVE") != "1"
         self.dataset_type = dataset_type
         self.input_features = list(input_features)
         self.katz_params = list(katz_params)
@@ -378,30 +381,42 @@ class OutlierSegmentationDataset:
         rng = np.random.default_rng((self._sample_seed, index))
         pick = sp[point_ind].reshape(1, 3) \
             + self.center_noise[index].astype(np.float32)
-        query_inds, total = gi.query_radius_sorted(pick[0], self.in_radius)
-        if total == 0:
-            query_inds, _ = gi.query_radius_sorted(pick[0],
-                                                   2 * self.in_radius)
-        query_inds = query_inds.astype(np.int64)
-        cur = len(query_inds)
 
-        if self.num_points < cur:
-            keep = query_inds[: self.num_points]
-            input_inds = keep[rng.permutation(self.num_points)]
-            mask = np.ones(self.num_points, np.float32)
+        # fused native assembly (no center swap: the reference outlier-seg
+        # loader keeps the shuffled order); Python path = oracle/fallback
+        native = gi.assemble_patch(
+            pick[0], point_ind, self.in_radius, self.num_points,
+            swap_center=False, seed=(self._sample_seed, index),
+            offsets=sf, labels=sl) if self.native_patches else None
+        if native is not None:
+            points, feats, labels_n, mask, input_inds, _ = native
         else:
-            query_inds = query_inds[rng.permutation(cur)]
-            pad = rng.integers(0, cur, self.num_points - cur)
-            input_inds = np.concatenate([query_inds, query_inds[pad]])
-            mask = np.zeros(self.num_points, np.float32)
-            mask[:cur] = 1.0
+            query_inds, total = gi.query_radius_sorted(pick[0],
+                                                       self.in_radius)
+            if total == 0:
+                query_inds, _ = gi.query_radius_sorted(pick[0],
+                                                       2 * self.in_radius)
+            query_inds = query_inds.astype(np.int64)
+            cur = len(query_inds)
 
-        points = sp[input_inds] - pick
-        feats = sf[input_inds]
+            if self.num_points < cur:
+                keep = query_inds[: self.num_points]
+                input_inds = keep[rng.permutation(self.num_points)]
+                mask = np.ones(self.num_points, np.float32)
+            else:
+                query_inds = query_inds[rng.permutation(cur)]
+                pad = rng.integers(0, cur, self.num_points - cur)
+                input_inds = np.concatenate([query_inds, query_inds[pad]])
+                mask = np.zeros(self.num_points, np.float32)
+                mask[:cur] = 1.0
+
+            points = sp[input_inds] - pick
+            feats = sf[input_inds]
+            labels_n = None
         if self.feature_drop > 0 and rng.random() < self.feature_drop:
             feats = np.zeros_like(feats)
         feats = pad_features_to_3(feats)
-        labels = sl[input_inds]
+        labels = sl[input_inds] if labels_n is None else labels_n
 
         if self.transforms is not None:
             points = self.transforms(points, rng)

@@ -71,6 +71,14 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             i32p, ctypes.c_void_p]
         lib.d3d_nearest_query.restype = ctypes.c_int32
         lib.d3d_nearest_query.argtypes = [ctypes.c_void_p, f32p]
+        lib.d3d_assemble_patch.restype = ctypes.c_int64
+        lib.d3d_assemble_patch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, f32p,
+            ctypes.c_int64, ctypes.c_float, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_uint64, ctypes.c_uint64,
+            f32p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -179,6 +187,66 @@ class GridIndex:
         if capacity is not None:
             inds = inds[:capacity]
         return inds, total
+
+    def assemble_patch(self, center: np.ndarray, center_ind: int,
+                       radius: float, num_points: int, *,
+                       pcn: bool = False, swap_center: bool = True,
+                       seed: Tuple[int, int] = (0, 0),
+                       offsets: Optional[np.ndarray] = None,
+                       labels: Optional[np.ndarray] = None):
+        """Fused per-sample patch assembly (native only; returns ``None``
+        when the native library is unavailable so callers take the Python
+        path).
+
+        One C call does the loader hot path of the reference's
+        ``offset_dataset.py:608-733``: distance-sorted radius query (retry
+        at 2r when empty), truncate-to-closest / pad (repetition for U-Net,
+        point 0 for PCN), shuffle, center swap into slot 0 (disable with
+        ``swap_center=False`` for outlier-seg semantics), gather + recenter.
+        ``offsets`` is any (n, fdim) per-point float table (GT offsets,
+        scan features, ...).  Randomness is the library's own deterministic
+        SplitMix stream — seeded by ``seed`` and platform-stable, but not
+        bit-identical to the numpy path (identical distribution).
+
+        Returns ``(points, offsets, labels, mask, input_inds, total)``;
+        ``offsets``/``labels`` are ``None`` when not supplied.  Raises if
+        even the doubled-radius retry finds no points.
+        """
+        if self._handle is None:
+            return None
+        center = np.ascontiguousarray(center, dtype=np.float32).ravel()
+        out_points = np.empty((num_points, 3), np.float32)
+        out_offsets = out_labels = None
+        off_arg = lab_arg = out_off_arg = out_lab_arg = None
+        fdim = 0
+        if offsets is not None:
+            offsets = np.ascontiguousarray(offsets, dtype=np.float32)
+            fdim = offsets.shape[1]
+            out_offsets = np.empty((num_points, fdim), np.float32)
+            off_arg = offsets.ctypes.data_as(ctypes.c_void_p)
+            out_off_arg = out_offsets.ctypes.data_as(ctypes.c_void_p)
+        if labels is not None:
+            labels = np.ascontiguousarray(labels, dtype=np.int32)
+            out_labels = np.empty(num_points, np.int32)
+            lab_arg = labels.ctypes.data_as(ctypes.c_void_p)
+            out_lab_arg = out_labels.ctypes.data_as(ctypes.c_void_p)
+        mask = np.empty(num_points, np.float32)
+        input_inds = np.empty(num_points, np.int64)
+        total = self._lib.d3d_assemble_patch(
+            self._handle, off_arg, ctypes.c_int64(fdim), lab_arg, center,
+            ctypes.c_int64(int(center_ind)), ctypes.c_float(radius),
+            ctypes.c_int64(int(num_points)), ctypes.c_int32(int(pcn)),
+            ctypes.c_int32(int(swap_center)),
+            ctypes.c_uint64(seed[0] & (2**64 - 1)),
+            ctypes.c_uint64(seed[1] & (2**64 - 1)),
+            out_points, out_off_arg, out_lab_arg,
+            mask.ctypes.data_as(ctypes.c_void_p),
+            input_inds.ctypes.data_as(ctypes.c_void_p))
+        if total < 0:
+            raise ValueError("assemble_patch: no points within 2*radius "
+                             "of the query center")
+        return out_points, out_offsets, out_labels, mask, input_inds, \
+            int(total)
 
     def nearest(self, center: np.ndarray) -> int:
         center = np.ascontiguousarray(center, dtype=np.float32).ravel()
