@@ -220,3 +220,29 @@ def test_offset_dataset_native_matches_python_semantics(rng, tmp_path):
                                           np.sort(b["input_inds"]))
         else:                                  # pad: identical SUPPORT
             assert set(a["input_inds"]) == set(b["input_inds"])
+
+
+@requires_native
+def test_assemble_patch_thread_safe(rng):
+    """The fused assembler is called concurrently by BatchLoader's worker
+    pool (the C call releases the GIL; scratch is thread_local): concurrent
+    results must be identical to serial ones."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pts = rng.random((20000, 3), dtype=np.float32)
+    offs = rng.standard_normal((20000, 3)).astype(np.float32)
+    labs = rng.integers(0, 2, 20000).astype(np.int32)
+    idx = native.GridIndex(pts, cell=0.2)
+    centers = rng.integers(0, 20000, 64)
+
+    def one(i):
+        return idx.assemble_patch(pts[centers[i]], int(centers[i]), 0.2,
+                                  128, seed=(1, i), offsets=offs,
+                                  labels=labs)
+
+    serial = [one(i) for i in range(64)]
+    with ThreadPoolExecutor(8) as pool:
+        threaded = list(pool.map(one, range(64)))
+    for s, t in zip(serial, threaded):
+        for a, b in zip(s[:5], t[:5]):
+            np.testing.assert_array_equal(a, b)
