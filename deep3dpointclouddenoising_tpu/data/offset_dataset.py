@@ -20,11 +20,17 @@ from __future__ import annotations
 
 import dataclasses
 import glob
+import logging
 import os
 import pickle
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+# Heartbeat lines during the (minutes-long) shape-cache build: the stall
+# supervisor (scripts/supervise.py) keys liveness off log-file mtime, and a
+# silent ctor longer than --stall_timeout gets the run killed mid-setup.
+logger = logging.getLogger("d3pcd")
 
 from ..utils.native import GridIndex, grid_subsample
 from .meshio import TriMesh, closest_point_on_mesh, load_off, \
@@ -231,6 +237,7 @@ class OffsetDataset:
         levels = list(self.diverse_levels or DIVERSE_LEVELS) \
             if noise_type == "diverse_stable" else [noise_level]
         self.shapes: List[ShapeData] = []
+        n_total = len(levels) * len(names)
         for lvl in levels:
             for name in names:
                 ntype = "gaussian" if noise_type == "diverse_stable" \
@@ -241,12 +248,19 @@ class OffsetDataset:
                     name, ntype, lvl_val, num_points_per_shape,
                     outlier_proportion,
                     mesh=None if shapes is None else shapes[name]))
+                if len(self.shapes) % 8 == 0 or len(self.shapes) == n_total:
+                    logger.info(f"{split}: shape cache "
+                                f"{len(self.shapes)}/{n_total}")
 
         # native uniform-grid spatial index per shape (utils/native.py);
         # the per-sample radius query is the host-side hot path
         self.indexes = [GridIndex(s.points, cell=in_radius)
                         for s in self.shapes]
+        logger.info(f"{split}: spatial indexes built "
+                    f"({len(self.indexes)} shapes)")
         self._build_patch_table(sample_dl_patches)
+        logger.info(f"{split}: patch table ready "
+                    f"({self.num_epochs}x{self.num_steps} samples)")
 
     # -- shape cache --------------------------------------------------------
     def _load_or_process(self, name, noise_type, noise_level, npts, outprop,

@@ -55,7 +55,9 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
+    logger.info("initializing discriminator state (first device dispatch)...")
     _, disc_state = trainer.init_states(rng, example)
+    logger.info("state initialized; compiling the pretrain step...")
     writer = MetricsWriter(cfg.log_dir)
     if cfg.load_path:
         disc_state = load_checkpoint(cfg.load_path, disc_state)

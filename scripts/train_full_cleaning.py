@@ -58,7 +58,9 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
+    logger.info("initializing train state (first device dispatch)...")
     state = trainer.init_state(rng, example)
+    logger.info("train state initialized; compiling the train step...")
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")

@@ -62,7 +62,9 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
+    logger.info("initializing G/D states (first device dispatch)...")
     gen_state, disc_state = trainer.init_states(rng, example)
+    logger.info("states initialized; compiling the GAN steps...")
     if args.auto_resume and os.path.isdir(
             os.path.join(cfg.log_dir, "generator")):
         # a prior (possibly killed) run of THIS experiment exists: restore

@@ -54,7 +54,10 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.rng_seed)
     example = next(iter(train_loader.epoch_iter(0)))
+    logger.info(f"train patches: {len(train_loader)*cfg.batch_size}; "
+                "initializing train state (first device dispatch)...")
     state = trainer.init_state(rng, example)
+    logger.info("train state initialized; compiling the train step...")
     writer = MetricsWriter(cfg.log_dir)
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
