@@ -248,14 +248,20 @@ class OffsetDataset:
                     name, ntype, lvl_val, num_points_per_shape,
                     outlier_proportion,
                     mesh=None if shapes is None else shapes[name]))
-                if len(self.shapes) % 8 == 0 or len(self.shapes) == n_total:
-                    logger.info(f"{split}: shape cache "
-                                f"{len(self.shapes)}/{n_total}")
+                # heartbeat EVERY shape: one uncached process_off_file call
+                # can take minutes, and the stall supervisor watches log
+                # mtime — logging only every 8th shape risked a false kill
+                logger.info(f"{split}: shape cache "
+                            f"{len(self.shapes)}/{n_total}")
 
         # native uniform-grid spatial index per shape (utils/native.py);
         # the per-sample radius query is the host-side hot path
-        self.indexes = [GridIndex(s.points, cell=in_radius)
-                        for s in self.shapes]
+        self.indexes = []
+        for i, s in enumerate(self.shapes):
+            self.indexes.append(GridIndex(s.points, cell=in_radius))
+            if (i + 1) % 8 == 0:
+                logger.info(f"{split}: spatial index {i + 1}"
+                            f"/{len(self.shapes)}")
         logger.info(f"{split}: spatial indexes built "
                     f"({len(self.indexes)} shapes)")
         self._build_patch_table(sample_dl_patches)

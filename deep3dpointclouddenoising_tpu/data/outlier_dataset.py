@@ -22,6 +22,7 @@ the JAX pipeline:
 """
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 from typing import Dict, List, Optional, Sequence
@@ -30,6 +31,8 @@ import numpy as np
 
 from ..utils.native import GridIndex, grid_subsample
 from .meshio import read_ply
+
+logger = logging.getLogger("d3pcd")
 
 EDF_SMALL = [f"pointcloud_{i:02d}" for i in range(14)]
 EDF_TEST_EXT = [f"test_pointcloud_{i}" for i in range(13, 21)]
@@ -169,11 +172,17 @@ class OutlierSegmentationDataset:
         self.sub_labels: List[np.ndarray] = []
         self.sub_density: List[np.ndarray] = []
         self.sub_indexes: List[GridIndex] = []
-        for name in self.cloud_names:
+        for i, name in enumerate(self.cloud_names):
             self._load_cloud(name)
+            # heartbeat per cloud: an uncached EDF load + subsample can take
+            # minutes, and the stall supervisor watches log-file mtime
+            logger.info(f"{split}: cloud {i + 1}/{len(self.cloud_names)} "
+                        f"({name}) loaded")
 
         self._build_patch_table()
+        logger.info(f"{split}: patch table ready")
         self._build_projections()
+        logger.info(f"{split}: projections built")
 
     # -- splits -------------------------------------------------------------
     def _resolve_split(self, split: str, debug: bool) -> List[str]:

@@ -26,6 +26,28 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Test tiers: whole-model-compile-heavy modules are marked ``slow`` so the
+# default iteration loop (`pytest -m "not slow"`) stays under ~5 minutes on
+# a 1-core host; CI / pre-round verification runs the full suite.
+SLOW_MODULES = {
+    "test_trainer",
+    "test_spatial",
+    "test_gan",
+    "test_serving",
+    "test_model",
+    "test_multihost",
+    "test_checkpoint",
+    "test_pcn_trainer",
+    "test_device_sampler",
+    "test_infer_eval",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
