@@ -85,6 +85,27 @@ def analyze_model_flops(batch: int = BATCH) -> float:
     return float(an["flops"])
 
 
+def analyze_train_flops(batch: int = BATCH) -> float:
+    """XLA-counted FLOPs of one train step (fwd+bwd+adam), CPU lowering.
+
+    DIAGNOSTIC ONLY: even the CPU graph's backward runs the scatter-free
+    one-hot gather backward (ops/neighbors.py:_gather_rows_bwd), whose
+    emulation matmuls inflate this count ~11x over the model math — so the
+    train MFU numerator uses the standard fwd+bwd = 3x forward-model-FLOPs
+    convention instead (PaLM-style 6ND accounting), and this figure is
+    reported only to quantify that gather-emulation overhead."""
+    jax, cfg, model, loss_fn, b = _setup("cpu", batch)
+    from deep3dpointclouddenoising_tpu.train import Trainer
+    cfg.batch_size = batch
+    trainer = Trainer(cfg, model, loss_fn, n_iter_per_epoch=2000)
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+    an = trainer._jit_train.lower(
+        state, b, jax.random.PRNGKey(1)).cost_analysis()
+    if isinstance(an, (list, tuple)):
+        an = an[0]
+    return float(an["flops"])
+
+
 def measure_forward_pps(iters: int = ITERS, batch: int = BATCH,
                         platform: str | None = None) -> float:
     """Pipelined (async-dispatch) eval-forward points/sec."""
@@ -139,12 +160,13 @@ def measure_all(batch: int = BATCH) -> dict:
     out.block_until_ready()
     dt_pipelined = time.perf_counter() - t0
 
-    # XLA-analyzed FLOPs of the compiled TPU executable.  This counts the
-    # work the device is asked to do — including the one-hot-matmul gather
-    # formulation of the fused kernel — so it is an UPPER bound on useful
-    # work, not the MFU numerator (round 2 used it as one and reported an
-    # impossible 149% MFU; the true model FLOPs come from
-    # analyze_model_flops in the CPU subprocess).
+    # XLA's static cost-model FLOP count for the compiled TPU executable.
+    # This includes Pallas CostEstimates and one-hot gather-emulation math,
+    # counts kernels the scheduler may later skip or fuse, and is NOT a
+    # measured execution rate — rounds 2/3 divided it by wall time and got
+    # numbers above chip peak (the count and the timing cannot both be
+    # interpreted that way).  Reported only as a static diagnostic; every
+    # MFU figure uses the analytic model FLOPs from the CPU lowering.
     try:
         an = forward.lower(v, *args).compile().cost_analysis()
         if isinstance(an, (list, tuple)):
@@ -225,7 +247,6 @@ def measure_all(batch: int = BATCH) -> dict:
 
     pts = batch * int(cfg.num_points)
     have_flops = fwd_flops == fwd_flops  # cost_analysis can fail → NaN
-    executed = fwd_flops * ITERS / dt_pipelined  # FLOP/s, incl. gather trick
     kind = jax.devices()[0].device_kind.lower()
     # documented bf16 MXU peaks per chip; f32 math runs at half of these
     peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
@@ -234,9 +255,8 @@ def measure_all(batch: int = BATCH) -> dict:
     return {
         "forward_pipelined_pps": pts * ITERS / dt_pipelined,
         "forward_pipelined_ms": 1e3 * dt_pipelined / ITERS,
-        "xla_executed_gflops_per_call": fwd_flops / 1e9 if have_flops
+        "xla_cost_model_gflops_per_call": fwd_flops / 1e9 if have_flops
         else None,
-        "xla_executed_tflops_per_s": executed / 1e12 if have_flops else None,
         "bf16_peak_tflops": peak / 1e12 if peak else None,
         "forward_synced_ms": 1e3 * statistics.median(lat),
         "forward_synced_ms_min": 1e3 * min(lat),
@@ -249,6 +269,126 @@ def measure_all(batch: int = BATCH) -> dict:
         "host_patch_assembly_ms": _host_loader_ms(int(cfg.num_points)),
         "batch": batch,
         "num_points": int(cfg.num_points),
+    }
+
+
+def measure_voting(batch: int = BATCH, n_cloud: int = 140_000,
+                   n_centers: int = 1200) -> dict:
+    """End-to-end voting inference throughput on one reference-density
+    cloud: the full ``denoise_clouds_device`` protocol — device-resident
+    patch extraction, forward, per-point vote scatter inside one jitted
+    scan (qualitative_inference_test.py:282-344's accumulate-then-divide
+    semantics).  ``voting_pps`` is CLOUD points denoised per second of
+    wall time; the patch coverage (~1200 centers for a diag-1 shape at
+    sampleDl_patches=0.03) matches the qualitative_test grid protocol."""
+    import numpy as np
+    jax, cfg, model, _, b = _setup(None, batch)
+    from types import SimpleNamespace
+
+    from deep3dpointclouddenoising_tpu.infer import \
+        predict_offsets_voting_device
+
+    host_rng = np.random.default_rng(0)
+    # sphere surface at the synthetic-quality scale (bbox diagonal 1)
+    v = host_rng.normal(size=(n_cloud, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+    pts = v * 0.2887 + host_rng.normal(
+        size=(n_cloud, 3)).astype(np.float32) * 0.005 * 0.5
+    centers = host_rng.integers(0, n_cloud, n_centers).astype(np.int32)
+    duck = SimpleNamespace(
+        shapes=[SimpleNamespace(
+            points=pts.astype(np.float32),
+            offsets=np.zeros((n_cloud, 3), np.float32),
+            labels=np.zeros(n_cloud, np.int32))],
+        point_inds=centers,
+        cloud_inds=np.zeros(n_centers, np.int32),
+        num_steps=n_centers, fourier_B=None, fourier_features=False)
+
+    variables = model.init(jax.random.PRNGKey(0), b["points"], b["mask"],
+                           b["features"], train=False)
+    # first call compiles + runs; second call measures the steady state
+    predict_offsets_voting_device(model, variables, cfg, duck, batch)
+    t0 = time.perf_counter()
+    offsets = predict_offsets_voting_device(model, variables, cfg, duck,
+                                            batch)
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(offsets[0]))
+    return {
+        "voting_pps": n_cloud / dt,
+        "voting_cloud_ms": 1e3 * dt,
+        "voting_patches_per_s": n_centers / dt,
+        "voting_n_centers": n_centers,
+    }
+
+
+def measure_large(batch: int = 4, num_points: int = 15_000) -> dict:
+    """Large-geometry (chamfer_5e3.yaml twin: 15k-point patches) forward +
+    train step on the chip — the SURVEY §7 "hard part" shapes: chunked
+    ball query under grad, the >2048-support gather backward, and the
+    15k-vs-15k chamfer loss (reference
+    /root/reference/u_net_arch/cfgs/chamfer_5e3.yaml:20)."""
+    import numpy as np
+    jax = __import__("jax")
+    from deep3dpointclouddenoising_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
+    from __graft_entry__ import _example_batch, _flagship_config
+    from deep3dpointclouddenoising_tpu.models import build_offset_regression
+    from deep3dpointclouddenoising_tpu.train import Trainer
+
+    cfg = _flagship_config(num_points=num_points)
+    cfg.loss = "chamfer"
+    cfg.batch_size = batch
+    model, loss_fn = build_offset_regression(cfg)
+    b = _example_batch(cfg, batch_size=batch)
+    variables = model.init(jax.random.PRNGKey(0), b["points"], b["mask"],
+                           b["features"], train=False)
+
+    @jax.jit
+    def forward(variables, points, mask, features):
+        return model.apply(variables, points, mask, features, train=False)
+
+    v = jax.device_put(variables)
+    args = (jax.device_put(b["points"]), jax.device_put(b["mask"]),
+            jax.device_put(b["features"]))
+    for _ in range(2):
+        forward(v, *args).block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(v, *args)
+    out.block_until_ready()
+    dt_fwd = (time.perf_counter() - t0) / iters
+
+    trainer = Trainer(cfg, model, loss_fn, n_iter_per_epoch=1000)
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+    rng = jax.random.PRNGKey(1)
+    try:
+        ma = trainer._jit_train.lower(
+            state, b, rng).compile().memory_analysis()
+        hbm_gb = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                  + ma.output_size_in_bytes) / 2**30
+    except Exception:
+        hbm_gb = None
+    for _ in range(2):
+        state, loss = trainer.train_step(state, b, rng)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    titers = 10
+    for _ in range(titers):
+        state, loss = trainer.train_step(state, b, rng)
+    jax.block_until_ready(loss)
+    dt_tr = (time.perf_counter() - t0) / titers
+    pts = batch * num_points
+    return {
+        "large_num_points": num_points,
+        "large_batch": batch,
+        "large_forward_ms": 1e3 * dt_fwd,
+        "large_forward_pps": pts / dt_fwd,
+        "large_train_step_ms": 1e3 * dt_tr,
+        "large_train_pps": pts / dt_tr,
+        "large_train_hbm_gb": hbm_gb,
+        "large_loss_finite": bool(np.isfinite(float(loss))),
     }
 
 
@@ -278,9 +418,22 @@ def _host_loader_ms(num_points: int, n_cloud: int = 140_000,
     return 1e3 * (time.perf_counter() - t0) / iters
 
 
+def _measure_all_plus() -> dict:
+    """measure_all + the voting and large-geometry sections, each guarded
+    so a relay hiccup in one stage doesn't void the others."""
+    detail = measure_all()
+    for fn in (measure_voting, measure_large):
+        try:
+            detail.update(fn())
+        except Exception as e:  # OOM / relay drop / compile failure
+            detail[f"{fn.__name__}_error"] = repr(e)[:200]
+    return detail
+
+
 def _cpu_baseline() -> dict:
     """CPU-backend forward pps (the >=10x north-star denominator) plus the
-    algorithmic model FLOPs (the MFU numerator), in one subprocess."""
+    algorithmic model + train-step FLOPs (MFU numerators), in one
+    subprocess."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
@@ -288,7 +441,8 @@ def _cpu_baseline() -> dict:
             "print('CPU_JSON ' + json.dumps("
             "{'pps': bench.measure_forward_pps(iters=3, batch=4,"
             " platform='cpu'),"
-            " 'model_flops': bench.analyze_model_flops()}))")
+            " 'model_flops': bench.analyze_model_flops(),"
+            " 'train_flops': bench.analyze_train_flops()}))")
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
@@ -312,11 +466,11 @@ def main():
     last_err = None
     for attempt in range(5):
         code = ("import bench, json;"
-                "print('BENCH_JSON ' + json.dumps(bench.measure_all()))")
+                "print('BENCH_JSON ' + json.dumps(bench._measure_all_plus()))")
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
-                text=True, timeout=1800,
+                text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 if line.startswith("BENCH_JSON "):
@@ -349,6 +503,18 @@ def main():
         detail["model_gflops_per_call"] = mf / 1e9
         detail["mfu_pct_bf16_peak"] = (
             100.0 * mf / (detail["forward_pipelined_ms"] * 1e-3)
+            / (peak * 1e12))
+    # train-step MFU at the steady-state chunked dispatch cadence (the
+    # number that bounds real training throughput).  Numerator: standard
+    # fwd+bwd = 3x forward model FLOPs (the lowered train-step count is
+    # inflated by the one-hot gather backward — see analyze_train_flops).
+    tf = cpu.get("train_flops", float("nan"))
+    if tf == tf:
+        detail["xla_train_step_gflops_lowered"] = tf / 1e9
+    if mf == mf and peak and detail.get("train_chunk_step_ms"):
+        detail["train_model_gflops_per_step"] = 3.0 * mf / 1e9
+        detail["train_mfu_pct_bf16_peak"] = (
+            100.0 * 3.0 * mf / (detail["train_chunk_step_ms"] * 1e-3)
             / (peak * 1e12))
     print(json.dumps({
         "metric": "denoised_points_per_sec_chip",
