@@ -219,6 +219,11 @@ class Trainer:
                    else self._chunk_leaf_sharding)
 
         def put(v):
+            if isinstance(v, jax.Array) and not v.is_fully_addressable:
+                # already a globally-assembled array (train_step/train_chunk
+                # re-shard what device_prefetch placed — idempotent by
+                # design; np.asarray on a multi-host global array raises)
+                return v
             v = np.asarray(v)
             if v.ndim <= batch_axis:
                 # scalars / step-only leaves: identical on all hosts

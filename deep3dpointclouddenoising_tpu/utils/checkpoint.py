@@ -22,17 +22,31 @@ def _checkpointer():
 
 def save_checkpoint(log_dir: str, epoch: int, state: Any,
                     save_freq: int = 10) -> None:
+    """Save ``current`` + the periodic epoch checkpoint.
+
+    Multi-host: orbax ``save`` is a COLLECTIVE — it runs a cross-process
+    commit barrier — so EVERY process must call this (a rank-0 gate
+    deadlocks the job at the first epoch end).  The state stays as global
+    jax.Arrays in that case: orbax's primary-host logic writes each
+    replicated array exactly once, while a device_get'd numpy tree would
+    make every host race to write the same files."""
     ckpt = _checkpointer()
-    state = jax.device_get(state)
+    multihost = jax.process_count() > 1
+    if not multihost:
+        state = jax.device_get(state)
     log_dir = os.path.abspath(log_dir)
     os.makedirs(log_dir, exist_ok=True)  # e.g. the GAN's per-block subdirs
     # a SIGKILL mid-save (supervisor stall-kill) leaves an
     # *.orbax-checkpoint-tmp dir that a later save may refuse to overwrite —
-    # clear stale ones before writing
-    import shutil
-    for name in os.listdir(log_dir):
-        if name.endswith(".orbax-checkpoint-tmp"):
-            shutil.rmtree(os.path.join(log_dir, name), ignore_errors=True)
+    # clear stale ones before writing (rank 0 only: racing rmtree against
+    # another rank's in-flight save would be the reference's spin-wait bug
+    # in reverse)
+    if jax.process_index() == 0:
+        import shutil
+        for name in os.listdir(log_dir):
+            if name.endswith(".orbax-checkpoint-tmp"):
+                shutil.rmtree(os.path.join(log_dir, name),
+                              ignore_errors=True)
     current = os.path.join(log_dir, "current")
     ckpt.save(current, state, force=True)
     if save_freq and epoch % save_freq == 0:

@@ -46,6 +46,8 @@ def parse_args():
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_points", type=int)
+    p.add_argument("--width", type=int,
+                   help="override the model width (debug/CI runs)")
     p.add_argument("--num_steps", type=int)
     p.add_argument("--base_learning_rate", type=float)
     p.add_argument("--weight_decay", type=float)
@@ -95,7 +97,7 @@ def main():
     enable_persistent_cache()
     overrides = {k: v for k, v in vars(args).items()
                  if v is not None and k in
-                 ("batch_size", "num_points", "num_steps", "epochs",
+                 ("batch_size", "num_points", "width", "num_steps", "epochs",
                   "start_epoch", "base_learning_rate", "weight_decay",
                   "load_path", "log_dir", "rng_seed", "DEBUG")}
     cfg = load_config(args.config_file, overrides)
@@ -301,9 +303,10 @@ def main():
             if is_coordinator():
                 writer.add_scalar("val/loss", vmeter.avg, epoch)
 
-        if is_coordinator():  # params are replicated: rank 0 holds all
-            save_checkpoint(cfg.log_dir, epoch, state,
-                            save_freq=cfg.save_freq)
+        # NOT rank-gated: orbax save is a collective in multi-host jobs
+        # (cross-process commit barrier); its primary-host logic already
+        # writes each replicated array exactly once
+        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
 
 
 if __name__ == "__main__":
