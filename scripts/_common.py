@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OVERRIDE_KEYS = ("batch_size", "num_points", "num_steps", "epochs",
+OVERRIDE_KEYS = ("batch_size", "num_points", "width", "num_steps", "epochs",
                  "start_epoch", "base_learning_rate", "weight_decay",
                  "load_path", "log_dir", "rng_seed", "DEBUG")
 
@@ -23,6 +23,8 @@ def base_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--batch_size", type=int)
     p.add_argument("--num_points", type=int)
+    p.add_argument("--width", type=int,
+                   help="override the model width (debug/sweep runs)")
     p.add_argument("--num_steps", type=int)
     p.add_argument("--base_learning_rate", type=float)
     p.add_argument("--weight_decay", type=float)

@@ -11,7 +11,11 @@ from deep3dpointclouddenoising_tpu.losses.build import (
 
 CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "cfgs")
-ALL_CFGS = sorted(glob.glob(os.path.join(CFG_DIR, "*.yaml")))
+# includes cfgs/custom_cfgs/ — the twins of the reference's 17-file EDF
+# outlier-seg feature-ablation sweep (custom_cfgs/*.yaml)
+ALL_CFGS = sorted(glob.glob(os.path.join(CFG_DIR, "*.yaml"))
+                  + glob.glob(os.path.join(CFG_DIR, "custom_cfgs",
+                                           "*.yaml")))
 
 FULL_CLEANING = {"L1_classification", "Weighted_L1_classification",
                  "double_weight"}
