@@ -136,6 +136,16 @@ for stage in $STAGES; do
         $sig \
         --checkpoint "$QD/synthetic_quality_l1_chamfer_sparse/current"
     done ;;
+  chamfer15k)
+    # the 15000-point chamfer geometry end-to-end on device (SURVEY §7
+    # hard part; see cfgs/synthetic_quality_chamfer15k.yaml header)
+    sup synthetic_quality_chamfer15k python scripts/train.py \
+      --config_file cfgs/synthetic_quality_chamfer15k.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd ch15k_$sig cfgs/synthetic_quality_chamfer15k.yaml $sig \
+        --checkpoint "$QD/synthetic_quality_chamfer15k/current"
+    done ;;
   chamfer)
     sup synthetic_quality_chamfer python scripts/train.py \
       --config_file cfgs/synthetic_quality_chamfer.yaml \
