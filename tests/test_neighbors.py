@@ -134,6 +134,28 @@ def test_group_features_and_grad(rng):
     np.testing.assert_allclose(g, expect, rtol=1e-6)
 
 
+def test_group_features_grad_large_support(rng):
+    """The N > _ONEHOT_BWD_MAX_N backward branch (XLA scatter-add — the
+    path every 15k-point config takes, ops/neighbors.py:191-199) must
+    produce the same gradient as a dense oracle."""
+    from deep3dpointclouddenoising_tpu.ops import neighbors as nb
+    B, N, C, M, K = 2, nb._ONEHOT_BWD_MAX_N + 7, 4, 31, 5
+    feats = rng.random((B, N, C), dtype=np.float32)
+    up = rng.random((B, M, K, C), dtype=np.float32)
+    idx = rng.integers(0, N, size=(B, M, K)).astype(np.int32)
+
+    def f(x):
+        return jnp.sum(group_features(x, jnp.asarray(idx)) * jnp.asarray(up))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+    expect = np.zeros_like(feats)
+    for b in range(B):
+        for m in range(M):
+            for k in range(K):
+                expect[b, idx[b, m, k]] += up[b, m, k]
+    np.testing.assert_allclose(g, expect, rtol=1e-5, atol=1e-6)
+
+
 def test_group_xyz_relative(rng):
     B, N, M, K = 1, 10, 4, 2
     s = rng.random((B, N, 3), dtype=np.float32)
