@@ -133,6 +133,50 @@ def measure_forward_pps(iters: int = ITERS, batch: int = BATCH,
     return points_per_iter * iters / dt
 
 
+def _scan_forward_ms(jax, model, variables, b, sizes=(16, 64)) -> float:
+    """Device-true forward time via the delta-scan method.
+
+    Times a single-dispatch ``lax.scan`` of S forwards at two S values and
+    divides the wall-time DIFFERENCE by the iteration difference, so every
+    per-dispatch overhead (relay RTT, host tracing) and any sync-semantics
+    artifact of the tunneled backend cancels.  Each iteration feeds a
+    data-dependent scalar back into the next iteration's input, so steps
+    serialize and XLA cannot elide or batch them.  The result is forced
+    through a real 1-element D2H fetch (np.asarray), the only sync this
+    backend is guaranteed to honor (block_until_ready has been observed to
+    return before device completion here — see VERDICT r3 'impossible
+    numbers')."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    def make(S):
+        @jax.jit
+        def run(variables, points, mask, features):
+            def body(c, _):
+                out = model.apply(variables, points + c, mask, features,
+                                  train=False)
+                # tiny but non-foldable data dependence onto the next step
+                return jnp.sum(out) * np.float32(1e-38), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=S)
+            return c
+        return run
+
+    args = (jax.device_put(b["points"]), jax.device_put(b["mask"]),
+            jax.device_put(b["features"]))
+    times = {}
+    for S in sizes:
+        fn = make(S)
+        np.asarray(fn(variables, *args))  # compile + one run
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(variables, *args)
+        np.asarray(out)  # real D2H sync
+        times[S] = (time.perf_counter() - t0) / reps
+    s0, s1 = sizes
+    return 1e3 * (times[s1] - times[s0]) / (s1 - s0)
+
+
 def measure_all(batch: int = BATCH) -> dict:
     """Pipelined + per-call-synced forward, and pipelined train step."""
     jax, cfg, model, loss_fn, b = _setup(None, batch)
@@ -153,12 +197,18 @@ def measure_all(batch: int = BATCH) -> dict:
     for _ in range(WARMUP):
         forward(v, *args).block_until_ready()
 
-    # pipelined: N async dispatches, one sync — steady-state loop regime
+    # pipelined: N async dispatches, one sync — steady-state loop regime.
+    # The final sync is a real 1-element D2H fetch: block_until_ready on the
+    # tunneled backend has been observed to return before device completion,
+    # so a np.asarray of the last output is the only trustworthy barrier.
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = forward(v, *args)
-    out.block_until_ready()
+    float(np.asarray(out)[0, 0, 0])
     dt_pipelined = time.perf_counter() - t0
+
+    # device-true forward via the delta-scan method (see _scan_forward_ms)
+    forward_scan_ms = _scan_forward_ms(jax, model, v, b)
 
     # XLA's static cost-model FLOP count for the compiled TPU executable.
     # This includes Pallas CostEstimates and one-hot gather-emulation math,
@@ -176,11 +226,12 @@ def measure_all(batch: int = BATCH) -> dict:
         fwd_flops = float("nan")
 
     # synced: one sync per call — includes the relay round-trip on the
-    # tunneled backend, so this is a HOST-observed latency, not device time
+    # tunneled backend, so this is a HOST-observed latency, not device time.
+    # The sync is a real D2H fetch (see above).
     lat = []
     for _ in range(SYNC_ITERS):
         t0 = time.perf_counter()
-        forward(v, *args).block_until_ready()
+        float(np.asarray(forward(v, *args))[0, 0, 0])
         lat.append(time.perf_counter() - t0)
 
     # training step (fwd+bwd+adam), pipelined
@@ -194,21 +245,28 @@ def measure_all(batch: int = BATCH) -> dict:
     t0 = time.perf_counter()
     for _ in range(TRAIN_ITERS):
         state, loss = trainer.train_step(state, b, rng)
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))  # real D2H sync
     dt_train = time.perf_counter() - t0
 
     # training steps via the scan-based chunked dispatch (S steps per jit
     # call, one H2D per chunk — scripts/train.py's default path): the
     # figure that bounds real training-loop wall time on the relay backend
-    S = 25
-    chunk = {k: np.stack([np.asarray(b[k])] * S) for k in b}
-    state, losses = trainer.train_chunk(state, chunk, rng)  # compile
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        state, losses = trainer.train_chunk(state, chunk, rng)
-    jax.block_until_ready(losses)
-    dt_chunk = time.perf_counter() - t0
+    # delta-scan method (see _scan_forward_ms): time chunks of S=25 and
+    # S=75 steps, report (t75 - t25) / 50 — dispatch overhead and any sync
+    # artifact cancel, leaving the true device time per optimizer step.
+    chunk_t = {}
+    for S in (25, 75):
+        chunk = {k: np.stack([np.asarray(b[k])] * S) for k in b}
+        state, losses = trainer.train_chunk(state, chunk, rng)  # compile
+        np.asarray(losses)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, losses = trainer.train_chunk(state, chunk, rng)
+        np.asarray(losses)  # real D2H sync
+        chunk_t[S] = (time.perf_counter() - t0) / 3
+    S = 25  # report fields below divide by 3*S, so scale the per-step
+    per_step = (chunk_t[75] - chunk_t[25]) / 50.0
+    dt_chunk = 3 * S * per_step
 
     # training with ON-DEVICE patch sampling (data/device_sampler.py): the
     # clouds live on device and each dispatch receives only (S, B, 2) int32
@@ -238,11 +296,11 @@ def measure_all(batch: int = BATCH) -> dict:
     sampled_fn = build_sampled_train_chunk(trainer, sampler)
     centers = jax.device_put(sampler.centers(0, batch)[:S])
     state, losses = sampled_fn(state, centers, cloud_data, rng)  # compile
-    jax.block_until_ready(losses)
+    np.asarray(losses)
     t0 = time.perf_counter()
     for _ in range(3):
         state, losses = sampled_fn(state, centers, cloud_data, rng)
-    jax.block_until_ready(losses)
+    np.asarray(losses)  # real D2H sync
     dt_sampled = time.perf_counter() - t0
 
     pts = batch * int(cfg.num_points)
@@ -255,6 +313,8 @@ def measure_all(batch: int = BATCH) -> dict:
     return {
         "forward_pipelined_pps": pts * ITERS / dt_pipelined,
         "forward_pipelined_ms": 1e3 * dt_pipelined / ITERS,
+        "forward_scan_ms": forward_scan_ms,
+        "forward_scan_pps": pts / (forward_scan_ms * 1e-3),
         "xla_cost_model_gflops_per_call": fwd_flops / 1e9 if have_flops
         else None,
         "bf16_peak_tflops": peak / 1e12 if peak else None,
@@ -357,7 +417,7 @@ def measure_large(batch: int = 4, num_points: int = 15_000) -> dict:
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(v, *args)
-    out.block_until_ready()
+    float(np.asarray(out)[0, 0, 0])  # real D2H sync
     dt_fwd = (time.perf_counter() - t0) / iters
 
     trainer = Trainer(cfg, model, loss_fn, n_iter_per_epoch=1000)
@@ -377,7 +437,7 @@ def measure_large(batch: int = 4, num_points: int = 15_000) -> dict:
     titers = 10
     for _ in range(titers):
         state, loss = trainer.train_step(state, b, rng)
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))  # real D2H sync
     dt_tr = (time.perf_counter() - t0) / titers
     pts = batch * num_points
     return {
@@ -496,14 +556,30 @@ def main():
     pps = detail["forward_pipelined_pps"]
     vs = pps / (10.0 * cpu_pps) if cpu_pps == cpu_pps else None
     # MFU = algorithmic model FLOPs (CPU lowering — no gather-trick
-    # inflation) / pipelined wall per call / chip bf16 peak
+    # inflation) / device-true forward time / chip bf16 peak.  The time
+    # basis is the delta-scan figure (forward_scan_ms): two scan lengths,
+    # difference divided by iteration delta, so dispatch overhead and any
+    # tunneled-backend sync artifact cancel.  An MFU above 100% is a
+    # methodology error by definition and is flagged, never reported as a
+    # headline.
     mf = cpu["model_flops"]
     peak = detail.get("bf16_peak_tflops")
-    if mf == mf and peak and detail.get("forward_pipelined_ms"):
+
+    def _mfu(flops, ms):
+        pct = 100.0 * flops / (ms * 1e-3) / (peak * 1e12)
+        return pct if pct <= 100.0 else None
+
+    fwd_ms = detail.get("forward_scan_ms") or detail.get(
+        "forward_pipelined_ms")
+    if mf == mf and peak and fwd_ms:
         detail["model_gflops_per_call"] = mf / 1e9
-        detail["mfu_pct_bf16_peak"] = (
-            100.0 * mf / (detail["forward_pipelined_ms"] * 1e-3)
-            / (peak * 1e12))
+        pct = _mfu(mf, fwd_ms)
+        if pct is None:
+            detail["mfu_methodology_error"] = (
+                f"model FLOPs / forward_scan_ms exceeds peak "
+                f"({100.0 * mf / (fwd_ms * 1e-3) / (peak * 1e12):.0f}%)")
+        else:
+            detail["mfu_pct_bf16_peak"] = pct
     # train-step MFU at the steady-state chunked dispatch cadence (the
     # number that bounds real training throughput).  Numerator: standard
     # fwd+bwd = 3x forward model FLOPs (the lowered train-step count is
@@ -513,9 +589,12 @@ def main():
         detail["xla_train_step_gflops_lowered"] = tf / 1e9
     if mf == mf and peak and detail.get("train_chunk_step_ms"):
         detail["train_model_gflops_per_step"] = 3.0 * mf / 1e9
-        detail["train_mfu_pct_bf16_peak"] = (
-            100.0 * 3.0 * mf / (detail["train_chunk_step_ms"] * 1e-3)
-            / (peak * 1e12))
+        pct = _mfu(3.0 * mf, detail["train_chunk_step_ms"])
+        if pct is None:
+            detail["train_mfu_methodology_error"] = (
+                "3x model FLOPs / train_chunk_step_ms exceeds peak")
+        else:
+            detail["train_mfu_pct_bf16_peak"] = pct
     print(json.dumps({
         "metric": "denoised_points_per_sec_chip",
         "value": round(pps, 1),
