@@ -176,8 +176,16 @@ class PseudoGrid(nn.Module):
                 sigma = extent * 0.3
                 w = jnp.exp(-sq / (2.0 * sigma * sigma + 1e-9))
             w = w * fmask[..., None]
-            per_kp = jnp.einsum("bmkp,bmkc->bmpc", w, grouped)
-            out = jnp.einsum("bmpc,pc->bmc", per_kp, kernel_weights)
+            # Σ_p (Σ_k w·f)[p,c]·kw[p,c] reassociated as
+            # Σ_k f ⊙ (Σ_p w·kw): the reference's per-(b,m) bmm form
+            # (ref :499-503) lowers to B·M batched (P,K)x(K,C) tiny dots —
+            # 60k of them at the 15k-point geometry, which the TPU
+            # compiler takes ~16 min to schedule and the MXU runs at a
+            # sliver of peak.  This form is ONE (B·M·K, P)x(P, C) thin
+            # matmul plus an elementwise K-reduction, and its backward is
+            # elementwise in f (no batched-tiny-dot transpose).
+            g = jnp.einsum("bmkp,pc->bmkc", w, kernel_weights)
+            out = jnp.sum(grouped * g, axis=2)
 
         if pg.output_conv or self.in_channels != self.out_channels:
             out = ConvBN(self.out_channels, self.cfg.bn_momentum,
