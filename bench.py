@@ -210,6 +210,21 @@ def measure_all(batch: int = BATCH) -> dict:
     # device-true forward via the delta-scan method (see _scan_forward_ms)
     forward_scan_ms = _scan_forward_ms(jax, model, v, b)
 
+    # same measurement at compute_dtype=bfloat16 — the TPU-first serving
+    # dtype (f32 matmuls run at half the MXU's bf16 rate, so an f32-only
+    # MFU is capped at 50% of the quoted peak by construction).  Quality
+    # at bf16 is pinned by cfgs/synthetic_quality_diverse_bf16.yaml runs.
+    try:
+        import copy
+        cfg16 = copy.deepcopy(cfg)
+        cfg16.compute_dtype = "bfloat16"
+        from deep3dpointclouddenoising_tpu.models import \
+            build_offset_regression as _build16
+        model16, _ = _build16(cfg16)
+        forward_scan_bf16_ms = _scan_forward_ms(jax, model16, v, b)
+    except Exception:
+        forward_scan_bf16_ms = None
+
     # XLA's static cost-model FLOP count for the compiled TPU executable.
     # This includes Pallas CostEstimates and one-hot gather-emulation math,
     # counts kernels the scheduler may later skip or fuse, and is NOT a
@@ -315,6 +330,7 @@ def measure_all(batch: int = BATCH) -> dict:
         "forward_pipelined_ms": 1e3 * dt_pipelined / ITERS,
         "forward_scan_ms": forward_scan_ms,
         "forward_scan_pps": pts / (forward_scan_ms * 1e-3),
+        "forward_scan_bf16_ms": forward_scan_bf16_ms,
         "xla_cost_model_gflops_per_call": fwd_flops / 1e9 if have_flops
         else None,
         "bf16_peak_tflops": peak / 1e12 if peak else None,
@@ -580,6 +596,14 @@ def main():
                 f"({100.0 * mf / (fwd_ms * 1e-3) / (peak * 1e12):.0f}%)")
         else:
             detail["mfu_pct_bf16_peak"] = pct
+        ms16 = detail.get("forward_scan_bf16_ms")
+        if ms16:
+            pct16 = _mfu(mf, ms16)
+            if pct16 is not None:
+                detail["mfu_pct_bf16_peak_bf16_model"] = pct16
+            else:
+                detail["mfu_bf16_methodology_error"] = (
+                    "model FLOPs / forward_scan_bf16_ms exceeds peak")
     # train-step MFU at the steady-state chunked dispatch cadence (the
     # number that bounds real training throughput).  Numerator: standard
     # fwd+bwd = 3x forward model FLOPs (the lowered train-step count is
