@@ -104,6 +104,56 @@ def main():
     print(f"synced rotating: min {lat[0]:.3f}  p50 {lat[10]:.3f}  "
           f"max {lat[-1]:.3f} ms", flush=True)
 
+    # Is block_until_ready a REAL barrier on this backend?  Compare N
+    # dispatches synced by block_until_ready against the same N synced by
+    # an actual 1-element D2H fetch — if the fetch-synced loop is much
+    # slower, block_until_ready returns early and every number that relied
+    # on it was an enqueue rate, not an execution rate.
+    def loop(n, sync):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = forward(v, *rot[i % 8])
+        sync(out)
+        return 1e3 * (time.perf_counter() - t0) / n
+
+    ms_block = loop(args.iters, lambda o: o.block_until_ready())
+    ms_fetch = loop(args.iters, lambda o: float(np.asarray(o)[0, 0, 0]))
+    print(f"pipelined, block_until_ready sync: {ms_block:.3f} ms/call")
+    print(f"pipelined, D2H-fetch sync:         {ms_fetch:.3f} ms/call")
+    if ms_fetch > 2.0 * ms_block:
+        print("=> block_until_ready is NOT a real barrier here; "
+              "trust only D2H-fetch-synced times", flush=True)
+
+    # Delta-scan: single-dispatch lax.scan of S forwards at two lengths;
+    # (t_S2 - t_S1) / (S2 - S1) cancels dispatch overhead and sync
+    # artifacts — the device-true forward time bench.py now reports.
+    import jax.numpy as jnp
+
+    def make(S):
+        @jax.jit
+        def run(variables, points, mask, features):
+            def body(c, _):
+                out = model.apply(variables, points + c, mask, features,
+                                  train=False)
+                return jnp.sum(out) * np.float32(1e-38), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=S)
+            return c
+        return run
+
+    t = {}
+    for S in (16, 64):
+        fn = make(S)
+        np.asarray(fn(v, *fixed))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(v, *fixed)
+        np.asarray(out)
+        t[S] = (time.perf_counter() - t0) / 3
+    print(f"delta-scan forward: {1e3 * (t[64] - t[16]) / 48:.3f} ms "
+          f"(S=16: {1e3 * t[16]:.1f} ms total, S=64: {1e3 * t[64]:.1f})",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
