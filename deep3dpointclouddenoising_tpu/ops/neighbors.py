@@ -32,8 +32,14 @@ _BIG = np.float32(1e10)  # np, not jnp: no backend init at import time
 
 
 def _auto_chunk(m: int, n: int, budget: int = 1 << 22) -> int:
-    """Pick a query-chunk size so the (chunk, N) distance tile stays small."""
+    """Pick a query-chunk size so the (chunk, N) distance tile stays small.
+
+    Rounded down to a multiple of 128 (TPU lane width) when the budget
+    allows it — an odd tile height (e.g. 279 at n=15000) forces padded
+    layouts on every (chunk, N) intermediate."""
     c = max(1, budget // max(n, 1))
+    if c >= 128:
+        c = (c // 128) * 128
     return min(m, c)
 
 
