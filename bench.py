@@ -496,13 +496,21 @@ def _host_loader_ms(num_points: int, n_cloud: int = 140_000,
 
 def _measure_all_plus() -> dict:
     """measure_all + the voting and large-geometry sections, each guarded
-    so a relay hiccup in one stage doesn't void the others."""
+    so a relay hiccup in one stage doesn't void the others.
+
+    After every section a ``BENCH_PART`` line goes to stdout: if the parent
+    kills this subprocess on timeout (the 15k-geometry section can spend
+    tens of relay-compile minutes on a cold cache), the sections that DID
+    complete still reach the final JSON — and the persistent compile cache
+    means the next attempt resumes further along."""
     detail = measure_all()
+    print("BENCH_PART " + json.dumps(detail), flush=True)
     for fn in (measure_voting, measure_large):
         try:
             detail.update(fn())
         except Exception as e:  # OOM / relay drop / compile failure
             detail[f"{fn.__name__}_error"] = repr(e)[:200]
+        print("BENCH_PART " + json.dumps(detail), flush=True)
     return detail
 
 
@@ -539,25 +547,39 @@ def main():
     # relay accepts nothing, the axon plugin retries forever) is bounded by
     # running each attempt in a subprocess with a hard timeout.
     detail = None
+    partial = None
     last_err = None
     for attempt in range(5):
         code = ("import bench, json;"
                 "print('BENCH_JSON ' + json.dumps(bench._measure_all_plus()))")
+        stdout = ""
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
                 text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in out.stdout.splitlines():
-                if line.startswith("BENCH_JSON "):
-                    detail = json.loads(line[len("BENCH_JSON "):])
-                    break
-            if detail is not None:
-                break
-            last_err = (out.stderr or out.stdout)[-300:]
-        except Exception as e:  # timeout / relay outage
+            stdout = out.stdout or ""
+            last_err = (out.stderr or out.stdout or "")[-300:]
+        except subprocess.TimeoutExpired as e:
+            # keep whatever sections finished before the timeout — the
+            # persistent compile cache makes the next attempt resume
+            stdout = (e.stdout or b"")
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            last_err = f"attempt timed out after {e.timeout}s"
+        except Exception as e:  # relay outage
             last_err = e
+        for line in stdout.splitlines():
+            if line.startswith("BENCH_JSON "):
+                detail = json.loads(line[len("BENCH_JSON "):])
+            elif line.startswith("BENCH_PART "):
+                partial = json.loads(line[len("BENCH_PART "):])
+        if detail is not None:
+            break
         time.sleep(120 * attempt + 30)
+    if detail is None and partial is not None:
+        partial["incomplete"] = "later sections timed out; values kept"
+        detail = partial
     if detail is None:
         print(json.dumps({
             "metric": "denoised_points_per_sec_chip",
