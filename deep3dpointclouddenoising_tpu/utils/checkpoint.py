@@ -21,8 +21,17 @@ def _checkpointer():
 
 
 def save_checkpoint(log_dir: str, epoch: int, state: Any,
-                    save_freq: int = 10) -> None:
+                    save_freq: int = 10, current_freq: int = 1,
+                    force: bool = False) -> None:
     """Save ``current`` + the periodic epoch checkpoint.
+
+    ``current_freq``: write the ``current`` (auto-resume) checkpoint only
+    every N epochs.  On the tunneled backend the save's device_get pulls
+    the full train state (~120 MB for the flagship) through the relay —
+    measured ~7 s/epoch, more than the 5 s train epoch itself — so the
+    training entry points save ``current`` every 5 epochs (a stall-kill
+    then costs at most 5 epochs of recompute).  ``force`` writes
+    unconditionally (final epoch).
 
     Multi-host: orbax ``save`` is a COLLECTIVE — it runs a cross-process
     commit barrier — so EVERY process must call this (a rank-0 gate
@@ -30,6 +39,9 @@ def save_checkpoint(log_dir: str, epoch: int, state: Any,
     jax.Arrays in that case: orbax's primary-host logic writes each
     replicated array exactly once, while a device_get'd numpy tree would
     make every host race to write the same files."""
+    periodic = bool(save_freq) and epoch % save_freq == 0
+    if not (force or periodic or epoch % max(int(current_freq), 1) == 0):
+        return
     ckpt = _checkpointer()
     multihost = jax.process_count() > 1
     if not multihost:

@@ -306,7 +306,8 @@ def main():
         # NOT rank-gated: orbax save is a collective in multi-host jobs
         # (cross-process commit barrier); its primary-host logic already
         # writes each replicated array exactly once
-        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq,
+                        current_freq=5, force=epoch == int(cfg.epochs))
 
 
 if __name__ == "__main__":

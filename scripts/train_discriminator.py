@@ -121,7 +121,8 @@ def main():
             logger.info(f"val [{epoch}] accuracy {acc.avg:.4f}")
             writer.add_scalar("val/accuracy", acc.avg, epoch)
         save_checkpoint(cfg.log_dir, epoch, disc_state,
-                        save_freq=cfg.save_freq)
+                        save_freq=cfg.save_freq, current_freq=5,
+                        force=epoch == int(cfg.epochs))
     writer.close()
 
 

@@ -83,7 +83,8 @@ def main():
                 vmeter.update(float(vl), n)
             logger.info(f"val [{epoch}] loss {vmeter.avg:.4f}")
             writer.add_scalar("val/loss", vmeter.avg, epoch)
-        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq)
+        save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq,
+                        current_freq=5, force=epoch == int(cfg.epochs))
     writer.close()
 
 

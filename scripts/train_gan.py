@@ -141,9 +141,11 @@ def main():
             writer.add_scalar(f"train/{k}", m.avg, epoch)
         # per-block checkpoints (train_dist_GAN.py:291-303)
         save_checkpoint(os.path.join(cfg.log_dir, "generator"), epoch,
-                        gen_state, save_freq=cfg.save_freq)
+                        gen_state, save_freq=cfg.save_freq, current_freq=5,
+                        force=epoch == int(cfg.epochs))
         save_checkpoint(os.path.join(cfg.log_dir, "discriminator"), epoch,
-                        disc_state, save_freq=cfg.save_freq)
+                        disc_state, save_freq=cfg.save_freq, current_freq=5,
+                        force=epoch == int(cfg.epochs))
     writer.close()
 
 
