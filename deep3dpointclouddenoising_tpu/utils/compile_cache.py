@@ -31,5 +31,8 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERYTHING: on the remote-compile relay even a sub-second
+    # compile costs seconds of round-trip, and a process start dispatches
+    # dozens of small init graphs (~8 min observed when not cached)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return d
