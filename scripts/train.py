@@ -54,6 +54,11 @@ def parse_args():
     p.add_argument("--epochs", type=int)
     p.add_argument("--start_epoch", type=int)
     p.add_argument("--load_path", type=str, default="")
+    p.add_argument("--load_weights_path", type=str, default="",
+                   help="warm-start MODEL weights (params + batch stats) "
+                   "from a checkpoint while keeping a fresh optimizer/"
+                   "lr-schedule state — cross-regime fine-tuning (e.g. "
+                   "diverse_stable from the diverse flagship)")
     p.add_argument("--auto_resume", action="store_true",
                    help="if <log_dir>/current exists, restore the full "
                    "train state from it and continue from the epoch after "
@@ -162,6 +167,16 @@ def main():
     if cfg.load_path:
         state = load_checkpoint(cfg.load_path, state)
         logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")
+    elif args.load_weights_path and not (
+            args.auto_resume
+            and os.path.isdir(os.path.join(cfg.log_dir, "current"))):
+        # warm start (weights only, fresh optimizer + schedule); an
+        # existing auto-resume state takes precedence so a supervised
+        # relaunch keeps fine-tune progress instead of restarting it
+        from deep3dpointclouddenoising_tpu.utils.checkpoint import \
+            load_weights
+        state = load_weights(args.load_weights_path, state)
+        logger.info(f"warm-started weights from {args.load_weights_path}")
     elif args.auto_resume:
         # prefer `current` (every epoch), fall back to the newest
         # ckpt_epoch_N — a kill can interrupt the `current` save itself
