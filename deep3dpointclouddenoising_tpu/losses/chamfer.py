@@ -29,17 +29,32 @@ _BIG = np.float32(1e10)  # np, not jnp: no backend init at import time
 
 def _nn_one_way(x: jnp.ndarray, y: jnp.ndarray, y_mask: jnp.ndarray,
                 norm_type: str, chunk: int) -> jnp.ndarray:
-    """For each x point: cost to its nearest *valid* y point.  (P1,) out."""
+    """For each x point: cost to its nearest *valid* y point.  (P1,) out.
+
+    The pairwise search runs under ``stop_gradient`` and only the
+    argmin-MATCHED pair is recomputed differentiably: grad(min_j d(x,y_j))
+    is the gradient at the argmin (the standard KNN-loss subgradient,
+    pytorch3d's knn backward).  Differentiating ``min`` over the full
+    distance matrix instead makes XLA materialize the (chunk, N, 3)
+    pairwise differences in the backward — 23.6 GB at the 15k-point
+    chamfer geometry (observed HBM OOM at compile), vs O(P1·3) here."""
     P1 = x.shape[0]
+    # all-padding y: the masked argmin would match a sentinel; keep the
+    # sentinel cost in that (whole-cloud) case
+    has_valid = jnp.max(y_mask) > 0.0
 
     def tile(xt):  # (c, 3)
-        d2 = jnp.sum((xt[:, None, :] - y[None, :, :]) ** 2, axis=-1)
+        xs = jax.lax.stop_gradient(xt)
+        ys = jax.lax.stop_gradient(y)
+        d2 = jnp.sum((xs[:, None, :] - ys[None, :, :]) ** 2, axis=-1)
         d2 = jnp.where((y_mask <= 0.0)[None, :], _BIG, d2)
-        if norm_type == "L2":
-            return jnp.min(d2, axis=-1)
         idx = jnp.argmin(d2, axis=-1)
         near = y[idx]
-        return jnp.sum(jnp.abs(xt - near), axis=-1)
+        if norm_type == "L2":
+            cost = jnp.sum((xt - near) ** 2, axis=-1)
+        else:
+            cost = jnp.sum(jnp.abs(xt - near), axis=-1)
+        return jnp.where(has_valid, cost, _BIG)
 
     if chunk >= P1:
         return tile(x)
