@@ -85,10 +85,16 @@ def main():
     ap = argparse.ArgumentParser("custom_cfgs mini ablation")
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--configs", nargs="*", default=None)
-    ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--width", type=int, default=24)
+    # Defaults = the budget the round-3 outlier-seg demo verified to get
+    # OFF the all-inlier optimum (prec 100 / rec 52 after 8 x 256 steps,
+    # RESULTS.md).  A 6-epoch x 128-step x width-24 sweep was measured to
+    # leave EVERY config at the degenerate all-inlier solution (90% macc,
+    # 0 recall at 10% outliers) — under-budget ablations of an imbalanced
+    # segmentation task produce zeros, not rankings.
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--width", type=int, default=72)
     ap.add_argument("--num_points", type=int, default=512)
-    ap.add_argument("--num_steps", type=int, default=128)
+    ap.add_argument("--num_steps", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
