@@ -5,16 +5,23 @@ U-Net (l1.yaml geometry: 500-point patches, width 144).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-``value`` is the pipelined eval-forward throughput: many steps dispatched
-asynchronously, synced once — the steady-state regime of the training and
-voting-inference loops (scripts/train.py batches its host syncs at print
-frequency for exactly this reason).  On the tunneled-TPU backend a per-call
-sync pays a ~20-40 ms relay round-trip that the device never sees, so the
-two regimes differ by orders of magnitude; ``detail`` reports both, plus the
-full fwd+bwd+adam training-step throughput (the reference logs batch time
-per train step, train_dist.py:459-463):
+``value`` is the CHUNKED eval-forward throughput — the production
+inference regime, frozen as the headline since round 5 (BENCH.md defines
+it; do not change the definition): S=25 eval batches stacked and dispatched
+as ONE ``lax.scan`` executable (infer.make_chunk_predict_fn — the same
+path scripts/infer.py's voting loop uses by default), every prediction
+fetched to host via a real D2H transfer, chunks pipelined with lag 1.
+Wall time covers H2D + compute + D2H of every output byte.  ``detail``
+also reports the legacy per-batch regimes and the full fwd+bwd+adam
+training-step throughput (the reference logs batch time per train step,
+train_dist.py:459-463):
 
-  * forward_pipelined_pps  — async-dispatch forward throughput (= value)
+  * forward_chunked_pps    — scan-batched production eval (= value)
+  * forward_pipelined_pps  — per-batch async dispatch, synced once
+                             (r1-r4's headline regime; kept for series
+                             continuity)
+  * forward_scan_ms        — device-true per-batch forward (delta-scan
+                             method; dispatch overhead cancelled)
   * forward_synced_ms      — per-call latency with a sync per call
                              (relay RTT included; lower bound on
                              single-patch round-trip latency)
@@ -178,7 +185,11 @@ def _scan_forward_ms(jax, model, variables, b, sizes=(16, 64)) -> float:
             best = min(best, time.perf_counter() - t0)
         times[S] = best
     s0, s1 = sizes
-    return 1e3 * (times[s1] - times[s0]) / (s1 - s0)
+    ms = 1e3 * (times[s1] - times[s0]) / (s1 - s0)
+    # timing noise (or repeat-dispatch memoization) can make the delta
+    # non-positive; a zero/negative time basis would propagate into inf
+    # pps and negative "MFU" — report the method failure as None instead
+    return ms if ms > 0 else None
 
 
 def measure_all(batch: int = BATCH) -> dict:
@@ -210,6 +221,44 @@ def measure_all(batch: int = BATCH) -> dict:
         out = forward(v, *args)
     float(np.asarray(out)[0, 0, 0])
     dt_pipelined = time.perf_counter() - t0
+
+    # PRODUCTION EVAL REGIME (the headline): scan-batched dispatch — S
+    # stacked batches per executable (infer.make_chunk_predict_fn), every
+    # prediction fetched to host.  Each timed pass uploads fresh inputs
+    # (distinct per chunk AND per step — nothing for a memoizing relay or
+    # CSE to elide), dispatches the S-step scan, and D2H-fetches the full
+    # (S, B, N, 3) output; chunks pipeline with lag 1 exactly like the
+    # voting loop in infer.predict_offsets_voting_chunked.  Wall time
+    # covers H2D + compute + D2H of every byte — an enqueue-only artifact
+    # cannot survive the final np.asarray of every output.
+    from deep3dpointclouddenoising_tpu.infer import make_chunk_predict_fn
+    chunk_fn = make_chunk_predict_fn(model, variables)
+    S_EVAL, N_CHUNKS = 25, 4
+    host_rng = np.random.default_rng(7)
+    stacks = []
+    for _ in range(N_CHUNKS):
+        noise = host_rng.normal(
+            size=(S_EVAL,) + b["points"].shape).astype(np.float32) * 1e-4
+        pts = np.asarray(b["points"])[None] + noise
+        stacks.append({
+            "points": pts,
+            "mask": np.broadcast_to(np.asarray(b["mask"]),
+                                    (S_EVAL,) + b["mask"].shape).copy(),
+            "features": pts.copy(),
+        })
+    np.asarray(chunk_fn(stacks[0]))  # compile + one run
+    t0 = time.perf_counter()
+    pending = None
+    for i in range(N_CHUNKS):
+        dev = chunk_fn(stacks[i])
+        if pending is not None:
+            np.asarray(pending)
+        pending = dev
+    np.asarray(pending)
+    dt_chunked = time.perf_counter() - t0
+    pts_per_chunk = S_EVAL * batch * int(cfg.num_points)
+    forward_chunked_pps = pts_per_chunk * N_CHUNKS / dt_chunked
+    forward_chunked_ms = 1e3 * dt_chunked / (N_CHUNKS * S_EVAL)
 
     # device-true forward via the delta-scan method (see _scan_forward_ms)
     forward_scan_ms = _scan_forward_ms(jax, model, v, b)
@@ -330,10 +379,14 @@ def measure_all(batch: int = BATCH) -> dict:
              "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12}
     peak = next((p for k, p in peaks.items() if k in kind), None)
     return {
+        "forward_chunked_pps": forward_chunked_pps,
+        "forward_chunked_batch_ms": forward_chunked_ms,
+        "forward_chunked_steps": S_EVAL,
         "forward_pipelined_pps": pts * ITERS / dt_pipelined,
         "forward_pipelined_ms": 1e3 * dt_pipelined / ITERS,
         "forward_scan_ms": forward_scan_ms,
-        "forward_scan_pps": pts / (forward_scan_ms * 1e-3),
+        "forward_scan_pps": (pts / (forward_scan_ms * 1e-3)
+                             if forward_scan_ms else None),
         "forward_scan_bf16_ms": forward_scan_bf16_ms,
         "xla_cost_model_gflops_per_call": fwd_flops / 1e9 if have_flops
         else None,
@@ -595,7 +648,8 @@ def main():
         return
     cpu = _cpu_baseline()
     cpu_pps = cpu["pps"]
-    pps = detail["forward_pipelined_pps"]
+    pps = detail.get("forward_chunked_pps") \
+        or detail["forward_pipelined_pps"]
     vs = pps / (10.0 * cpu_pps) if cpu_pps == cpu_pps else None
     # MFU = algorithmic model FLOPs (CPU lowering — no gather-trick
     # inflation) / device-true forward time / chip bf16 peak.  The time
@@ -608,8 +662,12 @@ def main():
     peak = detail.get("bf16_peak_tflops")
 
     def _mfu(flops, ms):
+        # a non-positive time basis is a methodology failure, and so is a
+        # rate above peak — neither is ever reported as a headline number
+        if not ms or ms <= 0:
+            return None
         pct = 100.0 * flops / (ms * 1e-3) / (peak * 1e12)
-        return pct if pct <= 100.0 else None
+        return pct if 0.0 < pct <= 100.0 else None
 
     fwd_ms = detail.get("forward_scan_ms") or detail.get(
         "forward_pipelined_ms")

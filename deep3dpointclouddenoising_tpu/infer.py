@@ -25,6 +25,88 @@ from .data.loader import BatchLoader, collate
 from .data.offset_dataset import OffsetDataset
 
 
+def make_chunk_predict_fn(model, variables,
+                          norm_factor: Optional[float] = None,
+                          scale_outputs: bool = True,
+                          variables_lo=None,
+                          route_low: Optional[np.ndarray] = None):
+    """Scan-batched predictor: ONE device dispatch and ONE D2H fetch per S
+    stacked eval batches — the forward analogue of ``Trainer.train_chunk``.
+
+    The per-batch predictor (``make_predict_fn``) pays the host<->device
+    round-trip once per batch; on a high-latency link that overhead (~300 ms
+    observed through the tunneled backend) dwarfs the ~20 ms of device
+    compute per batch and bounds the whole voting-inference loop
+    (the steady-state loop of
+    /root/reference/u_net_arch/qualitative_inference_test.py:282-344).
+    Here S batches upload as one stacked (S, B, N, ...) transfer, a
+    ``lax.scan`` runs the S forwards inside one executable (the step body
+    compiles once, same as the single-batch graph), and the (S, B, N, C)
+    predictions come back in one fetch.
+
+    ``variables_lo`` + ``route_low`` fold the noise-regime checkpoint
+    routing (``make_routed_predict_fn``) into the same scan: both
+    checkpoints run per batch and each patch keeps the prediction of the
+    checkpoint its cloud routes to.
+
+    Returns ``predict_chunk(stacked) -> jax.Array (S, B, N, C)`` where
+    ``stacked`` has ``points``/``mask``/``features`` stacked on a leading
+    step axis (plus ``cloud_ind`` when routing).  The result is left ON
+    DEVICE (async dispatch) so the caller can overlap the next chunk's host
+    prep with this chunk's compute; fetch with one ``np.asarray``.
+    """
+    variables = jax.device_put(variables)
+    routed = variables_lo is not None
+    if routed:
+        variables_lo = jax.device_put(variables_lo)
+        route_dev = jnp.asarray(np.asarray(route_low, bool))
+
+    def one(v, points, mask, features):
+        if norm_factor:
+            points = points / norm_factor
+            features = features / norm_factor
+        out = model.apply(v, points, mask, features, train=False)
+        if norm_factor and scale_outputs:
+            out = out.at[..., :3].multiply(norm_factor)
+        return out
+
+    if not routed:
+        @jax.jit
+        def fwd_chunk(v, points, mask, features):
+            def body(_, x):
+                p, m, f = x
+                return (), one(v, p, m, f)
+            _, out = jax.lax.scan(body, (), (points, mask, features))
+            return out
+
+        def predict_chunk(stacked):
+            return fwd_chunk(
+                variables, jnp.asarray(stacked["points"]),
+                jnp.asarray(stacked["mask"]),
+                jnp.asarray(stacked["features"]))
+    else:
+        @jax.jit
+        def fwd_chunk2(v_hi, v_lo, route, points, mask, features, cloud_ind):
+            def body(_, x):
+                p, m, f, ci = x
+                hi = one(v_hi, p, m, f)
+                lo = one(v_lo, p, m, f)
+                return (), jnp.where(route[ci][:, None, None], lo, hi)
+            _, out = jax.lax.scan(body, (),
+                                  (points, mask, features, cloud_ind))
+            return out
+
+        def predict_chunk(stacked):
+            return fwd_chunk2(
+                variables, variables_lo, route_dev,
+                jnp.asarray(stacked["points"]),
+                jnp.asarray(stacked["mask"]),
+                jnp.asarray(stacked["features"]),
+                jnp.asarray(np.asarray(stacked["cloud_ind"], np.int32)))
+
+    return predict_chunk
+
+
 def _drain_one(in_flight: deque, sums, counts, tanh_offsets: bool) -> None:
     """Sync the OLDEST in-flight device prediction and scatter its votes.
 
@@ -45,6 +127,50 @@ def _drain_one(in_flight: deque, sums, counts, tanh_offsets: bool) -> None:
         inds = batch["input_inds"][b][masks[b]]
         sums[ci][inds] += pred[b][masks[b]]
         counts[ci][inds] += 1.0
+
+
+def _rotated_batch(batch, dataset, rng):
+    """Random z-rotation of one batch for an augmentation vote round.
+
+    Features must describe the SAME geometry the model sees: raw-xyz
+    features are the rotated points themselves, and Fourier features are
+    recomputed from the rotated points with the dataset's fixed projection
+    (feeding features of the unrotated patch would silently corrupt the
+    vote average).  Any other feature kind cannot be re-derived here —
+    refuse rather than vote on inconsistent inputs (the reference likewise
+    raises on unsupported feature dims in its voting path).
+    """
+    theta = rng.uniform(0, 2 * np.pi, size=len(batch["points"]))
+    c, s_ = np.cos(theta), np.sin(theta)
+    rot = np.zeros((len(theta), 3, 3), np.float32)
+    rot[:, 0, 0], rot[:, 0, 1] = c, -s_
+    rot[:, 1, 0], rot[:, 1, 1] = s_, c
+    rot[:, 2, 2] = 1.0
+    pts = np.einsum("bni,bij->bnj", batch["points"], rot)
+    feats = batch["features"]
+    if feats.shape[-1] == 3:
+        feats = pts.copy()
+    elif getattr(dataset, "fourier_features", False):
+        from .data.offset_dataset import fourier_input_mapping
+        feats = fourier_input_mapping(
+            pts, dataset.fourier_B).astype(feats.dtype)
+    else:
+        raise NotImplementedError(
+            f"num_votes > 1 with {feats.shape[-1]}-dim "
+            "non-Fourier features: cannot recompute features "
+            "for the rotated patch")
+    return dict(batch, points=pts, features=feats), rot
+
+
+def _prepared_batches(loader, dataset, num_votes: int, rng_seed: int):
+    """Yield (batch, rot) pairs for every vote round (rot None on round 0)."""
+    rng = np.random.default_rng(rng_seed)
+    for vote in range(num_votes):
+        for batch in loader.epoch_iter(0):
+            if vote > 0:
+                yield _rotated_batch(batch, dataset, rng)
+            else:
+                yield batch, None
 
 
 def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
@@ -80,52 +206,18 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
     counts = [np.zeros((len(s.points), 1), np.float64)
               for s in dataset.shapes]
 
-    rng = np.random.default_rng(rng_seed)
     loader = BatchLoader(dataset, batch_size, drop_last=False)
     in_flight: deque = deque()
-    for vote in range(num_votes):
-        for batch in loader.epoch_iter(0):
-            if vote > 0:
-                theta = rng.uniform(0, 2 * np.pi,
-                                    size=len(batch["points"]))
-                c, s_ = np.cos(theta), np.sin(theta)
-                rot = np.zeros((len(theta), 3, 3), np.float32)
-                rot[:, 0, 0], rot[:, 0, 1] = c, -s_
-                rot[:, 1, 0], rot[:, 1, 1] = s_, c
-                rot[:, 2, 2] = 1.0
-                pts = np.einsum("bni,bij->bnj", batch["points"], rot)
-                feats = batch["features"]
-                # features must describe the SAME geometry the model sees:
-                # raw-xyz features are the rotated points themselves, and
-                # Fourier features are recomputed from the rotated points
-                # with the dataset's fixed projection (feeding features of
-                # the unrotated patch would silently corrupt the vote
-                # average).  Any other feature kind cannot be re-derived
-                # here — refuse rather than vote on inconsistent inputs
-                # (the reference likewise raises on unsupported feature
-                # dims in its voting path).
-                if feats.shape[-1] == 3:
-                    feats = pts.copy()
-                elif getattr(dataset, "fourier_features", False):
-                    from .data.offset_dataset import fourier_input_mapping
-                    feats = fourier_input_mapping(
-                        pts, dataset.fourier_B).astype(feats.dtype)
-                else:
-                    raise NotImplementedError(
-                        f"num_votes > 1 with {feats.shape[-1]}-dim "
-                        "non-Fourier features: cannot recompute features "
-                        "for the rotated patch")
-                batch = dict(batch, points=pts, features=feats)
-            else:
-                rot = None
-            # pipelined dispatch: keep a small in-flight window of device
-            # predictions and sync LATE — a per-batch np.asarray would pay
-            # the tunneled backend's round-trip for every batch, serializing
-            # host batch prep with device compute (same pattern as the
-            # train loop's pending list, scripts/train.py)
-            in_flight.append((predict_fn(batch), batch, rot))
-            while len(in_flight) > 2:
-                _drain_one(in_flight, sums, counts, tanh_offsets)
+    for batch, rot in _prepared_batches(loader, dataset, num_votes,
+                                        rng_seed):
+        # pipelined dispatch: keep a small in-flight window of device
+        # predictions and sync LATE — a per-batch np.asarray would pay
+        # the tunneled backend's round-trip for every batch, serializing
+        # host batch prep with device compute (same pattern as the
+        # train loop's pending list, scripts/train.py)
+        in_flight.append((predict_fn(batch), batch, rot))
+        while len(in_flight) > 2:
+            _drain_one(in_flight, sums, counts, tanh_offsets)
     while in_flight:
         _drain_one(in_flight, sums, counts, tanh_offsets)
     out = []
@@ -134,13 +226,121 @@ def predict_offsets_voting(predict_fn, dataset: OffsetDataset,
     return out
 
 
+def predict_offsets_voting_chunked(predict_chunk_fn, dataset: OffsetDataset,
+                                   batch_size: int = 16,
+                                   num_outputs: int = 3,
+                                   num_votes: int = 1,
+                                   rng_seed: int = 0,
+                                   tanh_offsets: bool = False,
+                                   chunk_steps: int = 16,
+                                   ) -> List[np.ndarray]:
+    """Vote-averaged patch predictions through the scan-batched predictor.
+
+    Same protocol as :func:`predict_offsets_voting`
+    (qualitative_inference_test.py:282-344 accumulate-then-divide), but the
+    device work dispatches in chunks of ``chunk_steps`` stacked batches
+    (one H2D + one executable + one D2H per chunk — see
+    :func:`make_chunk_predict_fn`), which removes the per-batch link
+    round-trip that bounds the per-batch path on high-latency backends.
+
+    A ragged final chunk is padded by repeating its last batch so every
+    dispatch hits the one compiled (S, B, ...) executable; pad steps'
+    predictions are simply not scattered.  A ragged final BATCH (loader
+    drop_last=False) is padded to the full batch size with zero-mask rows,
+    which never vote (``_drain_one`` scatters masked rows only).
+    """
+    sums = [np.zeros((len(s.points), num_outputs), np.float64)
+            for s in dataset.shapes]
+    counts = [np.zeros((len(s.points), 1), np.float64)
+              for s in dataset.shapes]
+    loader = BatchLoader(dataset, batch_size, drop_last=False)
+
+    def drain(chunk_pred, batches, rots, n_real):
+        pred = np.asarray(chunk_pred)  # ONE D2H fetch for the whole chunk
+        for i in range(n_real):
+            _drain_one(deque([(pred[i], batches[i], rots[i])]),
+                       sums, counts, tanh_offsets)
+
+    batch_rows = None  # full batch-size B, learned from the first batch
+
+    def _pad_ragged(batch, rot):
+        b = len(batch["points"])
+        if batch_rows is None or b == batch_rows:
+            return batch, rot
+        pad = batch_rows - b
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            reps = np.repeat(v[:1], pad, axis=0) if v.ndim else v
+            out[k] = np.concatenate([v, reps]) if v.ndim else v
+        out["mask"] = out["mask"].copy()
+        out["mask"][b:] = 0.0  # pad rows never vote
+        if rot is not None:  # identity rotations for the pad rows
+            rot = np.concatenate(
+                [rot, np.broadcast_to(np.eye(3, dtype=rot.dtype),
+                                      (pad, 3, 3))])
+        return out, rot
+
+    buf_b: List[Dict] = []
+    buf_r: List = []
+    pending = None  # one in-flight chunk: host stacking of chunk i+1
+    # overlaps device compute of chunk i (predict_chunk_fn's np.asarray
+    # fetch syncs chunk i only when chunk i+1 has been dispatched)
+
+    def dispatch():
+        nonlocal pending
+        n_real = len(buf_b)
+        batches, rots = list(buf_b), list(buf_r)
+        while len(batches) < chunk_steps:  # ragged tail: pad, don't scatter
+            batches.append(batches[-1])
+            rots.append(rots[-1])
+        keys = ["points", "mask", "features"]
+        if any(b.get("cloud_ind") is not None for b in batches):
+            keys.append("cloud_ind")
+        stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+                   for k in keys}
+        prev = pending
+        pending = (predict_chunk_fn(stacked), batches, rots, n_real)
+        buf_b.clear()
+        buf_r.clear()
+        if prev is not None:
+            drain(*prev)
+
+    for batch, rot in _prepared_batches(loader, dataset, num_votes,
+                                        rng_seed):
+        if batch_rows is None:
+            batch_rows = len(batch["points"])
+        batch, rot = _pad_ragged(batch, rot)
+        buf_b.append(batch)
+        buf_r.append(rot)
+        if len(buf_b) == chunk_steps:
+            dispatch()
+    if buf_b:
+        dispatch()
+    if pending is not None:
+        drain(*pending)
+    out = []
+    for s, c in zip(sums, counts):
+        out.append((s / np.maximum(c, 1.0)).astype(np.float32))
+    return out
+
+
 def denoise_clouds(predict_fn, dataset: OffsetDataset,
-                   batch_size: int = 16, num_votes: int = 1
+                   batch_size: int = 16, num_votes: int = 1,
+                   chunk_steps: int = 0
                    ) -> List[Dict[str, np.ndarray]]:
     """Offset-regression denoising: per cloud return noisy, denoised, and
-    the averaged offsets (qualitative_inference_test.py:513-560)."""
-    offsets = predict_offsets_voting(predict_fn, dataset, batch_size, 3,
-                                     num_votes=num_votes)
+    the averaged offsets (qualitative_inference_test.py:513-560).
+
+    ``chunk_steps > 0`` selects the scan-batched dispatch: ``predict_fn``
+    must then be a chunk predictor (:func:`make_chunk_predict_fn`)."""
+    if chunk_steps:
+        offsets = predict_offsets_voting_chunked(
+            predict_fn, dataset, batch_size, 3, num_votes=num_votes,
+            chunk_steps=chunk_steps)
+    else:
+        offsets = predict_offsets_voting(predict_fn, dataset, batch_size, 3,
+                                         num_votes=num_votes)
     results = []
     for shape, off in zip(dataset.shapes, offsets):
         results.append({
@@ -156,15 +356,23 @@ def denoise_clouds(predict_fn, dataset: OffsetDataset,
 def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
                  outlier_threshold: float = 0.5,
                  norm_factor: Optional[float] = None,
-                 num_votes: int = 1
+                 num_votes: int = 1, chunk_steps: int = 0
                  ) -> List[Dict[str, np.ndarray]]:
     """Full-cleaning inference: tanh offsets + sigmoid outlierness; points
     predicted as outliers are removed, the rest are denoised
     (qualitative_inference_test.py:411-506).  The vote buffers accumulate
     tanh'd (physical) offsets — see ``predict_offsets_voting``
-    (tanh_offsets) — so no tanh is applied to the averages here."""
-    raw = predict_offsets_voting(predict_fn, dataset, batch_size, 4,
-                                 num_votes=num_votes, tanh_offsets=True)
+    (tanh_offsets) — so no tanh is applied to the averages here.
+
+    ``chunk_steps > 0`` selects the scan-batched dispatch: ``predict_fn``
+    must then be a chunk predictor (:func:`make_chunk_predict_fn`)."""
+    if chunk_steps:
+        raw = predict_offsets_voting_chunked(
+            predict_fn, dataset, batch_size, 4, num_votes=num_votes,
+            tanh_offsets=True, chunk_steps=chunk_steps)
+    else:
+        raw = predict_offsets_voting(predict_fn, dataset, batch_size, 4,
+                                     num_votes=num_votes, tanh_offsets=True)
     results = []
     for shape, pred in zip(dataset.shapes, raw):
         off = pred[:, :3].copy()
@@ -187,6 +395,37 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
     return results
 
 
+def _segment_sums_sorted(keys: jnp.ndarray, vals: jnp.ndarray,
+                         w: jnp.ndarray, n_out: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free segment sums: (T,) int keys, (T, C) values, (T,) weights
+    -> per-key sums (n_out, C) and weight counts (n_out, 1).
+
+    TPU XLA scatters serialize (~microseconds per scattered row — the
+    reason round 4's per-step ``sums.at[ci, inds].add`` voting ran 9x
+    slower than its own forward), so the reduction here is sort + prefix
+    sum + boundary lookup, all dense vector ops:
+      1. sort rows by key (argsort + gathers);
+      2. inclusive prefix sums along the sorted axis (log-depth scan);
+      3. per output key, locate its sorted [start, end) range with a
+         vectorized binary search and subtract prefix sums at the
+         boundaries.
+    Zero-weight rows contribute zero to both sums and counts, so callers
+    can route dead votes to key 0 instead of masking.
+    """
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    sv = (vals * w[:, None])[order]
+    sw = w[order]
+    csum = jnp.concatenate(
+        [jnp.zeros((1, vals.shape[-1]), sv.dtype), jnp.cumsum(sv, axis=0)])
+    cw = jnp.concatenate([jnp.zeros((1,), sw.dtype), jnp.cumsum(sw)])
+    q = jnp.arange(n_out, dtype=keys.dtype)
+    start = jnp.searchsorted(sk, q, side="left")
+    end = jnp.searchsorted(sk, q, side="right")
+    return csum[end] - csum[start], (cw[end] - cw[start])[:, None]
+
+
 def predict_offsets_voting_device(model, variables, cfg,
                                   dataset: OffsetDataset,
                                   batch_size: int = 16,
@@ -197,26 +436,33 @@ def predict_offsets_voting_device(model, variables, cfg,
                                   rng_seed: int = 0,
                                   apply_fn=None,
                                   ) -> List[np.ndarray]:
-    """Device-resident voting: the whole protocol of
-    ``predict_offsets_voting`` — patch extraction, forward, per-point vote
-    scatter — runs inside ONE jitted scan.  Clouds upload once
-    (data/device_sampler.py), the host sends only the int32 center table,
-    and the vote accumulators live on device; a single D2H transfer at the
-    end returns the (n_clouds, max_points, C) sums and counts.
+    """Device-resident voting: patch gathers, forwards, and the per-point
+    vote reduction all run inside ONE jitted executable.  Clouds upload
+    once (a few MB); per run the host sends only the int32 patch-index
+    tables (~2 bytes/point-slot), and one D2H transfer at the end returns
+    the (n_clouds, max_points, C) sums and counts.
 
-    Semantics match the host path (same patch point sets; pad slots carry
-    mask 0 and never vote).  ``scale`` multiplies raw predictions
-    (offset-regression norm checkpoints); ``tanh_offsets`` applies tanh to
-    the first 3 channels before accumulation (full-cleaning).
+    Round-5 redesign (was: on-device patch extraction + per-step
+    scatter-add): patch indices are PRECOMPUTED ON THE HOST by the same
+    dataset machinery the host path uses (KD-tree/native radius query,
+    truncate/shuffle/center-swap — so device and host patch sets are
+    IDENTICAL, not merely equivalent), which removes the per-step
+    140k-wide distance + top-k from the scan; and the vote accumulation is
+    a scatter-free sort + prefix-sum reduction over all votes at once
+    (:func:`_segment_sums_sorted`) instead of two XLA scatters per step.
+    Both changes follow qualitative_inference_test.py:325-343's
+    accumulate-then-divide semantics exactly.
 
-    ``num_votes > 1`` runs the augmentation-voting rounds ON DEVICE too:
+    ``scale`` multiplies raw predictions (offset-regression norm
+    checkpoints); ``tanh_offsets`` applies tanh to the first 3 channels
+    before accumulation (full cleaning — see ``clean_clouds``).
+
+    ``num_votes > 1`` runs the augmentation-voting rounds ON DEVICE:
     vote rounds past the first rotate every patch by a random z-angle
     inside the scan, predict, apply tanh (if any), and rotate the offset
-    channels back before accumulating — the host path's per-round einsums
-    (``predict_offsets_voting``) folded into the same executable, so K
-    votes cost K scans of device time and still one D2H sync.  Raw-xyz
-    features are re-derived as the rotated points; Fourier features are
-    recomputed from the rotated patch with the dataset's fixed projection.
+    channels back before accumulating.  Raw-xyz features are re-derived as
+    the rotated points; Fourier features are recomputed from the rotated
+    patch with the dataset's fixed projection.
 
     ``apply_fn(variables, batch) -> (B, N, num_outputs)`` overrides the
     model forward (tests inject oracles; the batch's ``offsets`` are
@@ -225,61 +471,86 @@ def predict_offsets_voting_device(model, variables, cfg,
 
     sampler = DeviceSampler(dataset, cfg)
     data = sampler.cloud_data()
-    centers_all = np.stack([np.asarray(dataset.cloud_inds, np.int32),
-                            np.asarray(dataset.point_inds, np.int32)],
-                           axis=-1)
-    n = len(centers_all)
+    n_shapes, max_n = np.asarray(data["points"]).shape[:2]
+
+    # host-side patch tables (threaded extraction, same code path as host
+    # voting): indices into each cloud, true-neighbor counts, cloud ids.
+    loader = BatchLoader(dataset, batch_size, drop_last=False)
+    inds_l, cnt_l, ci_l = [], [], []
+    for batch in loader.epoch_iter(0):
+        m = np.asarray(batch["mask"], np.float32)
+        inds_l.append(np.asarray(batch["input_inds"], np.int32))
+        # host masks are prefix-contiguous (pads are appended after the
+        # truncate/shuffle; the center swap exchanges two real slots)
+        cnt_l.append(m.sum(-1).astype(np.int32))
+        ci_l.append(np.asarray(batch["cloud_ind"], np.int32))
+    inds = np.concatenate(inds_l)          # (P, N)
+    cnts = np.concatenate(cnt_l)           # (P,)
+    cis = np.concatenate(ci_l)             # (P,)
+    n = len(inds)
     steps = -(-n // batch_size)
     pad = steps * batch_size - n
     valid = np.ones(steps * batch_size, np.float32)
     if pad:
-        centers_all = np.concatenate(
-            [centers_all, np.repeat(centers_all[:1], pad, axis=0)])
+        inds = np.concatenate([inds, np.repeat(inds[:1], pad, axis=0)])
+        cnts = np.concatenate([cnts, np.repeat(cnts[:1], pad)])
+        cis = np.concatenate([cis, np.repeat(cis[:1], pad)])
         valid[n:] = 0.0
-    centers = centers_all.reshape(steps, batch_size, 2)
+    N = inds.shape[-1]
+    inds = inds.reshape(steps, batch_size, N)
+    cnts = cnts.reshape(steps, batch_size)
+    cis = cis.reshape(steps, batch_size)
     valid = valid.reshape(steps, batch_size)
-    n_shapes, max_n = data["points"].shape[:2]
+
     if apply_fn is None:
         def apply_fn(variables, batch):
             return model.apply(variables, batch["points"], batch["mask"],
                                batch["features"], train=False)
     fourier = bool(getattr(dataset, "fourier_features", False))
+    norm_factor = sampler.norm_factor
 
     @jax.jit
-    def run(variables, data, centers, valid):
-        sums = jnp.zeros((n_shapes, max_n, num_outputs), jnp.float32)
-        counts = jnp.zeros((n_shapes, max_n, 1), jnp.float32)
+    def run(variables, data, inds, cnts, cis, valid):
+        def body(i, inp):
+            p_inds, p_cnt, p_ci, v = inp
 
-        def body(carry, inp):
-            sums, counts, i = carry
-            c, v = inp
-            batch = sampler.sample(data, c, jax.random.PRNGKey(0),
-                                   augment=False)
+            def one(ci, pi):
+                cloud = data["points"][ci]
+                pts = cloud[pi] - cloud[pi[0]]  # slot 0 is the center
+                offs = data["offsets"][ci][pi]
+                labs = data["labels"][ci][pi]
+                return pts, offs, labs
+
+            pts, offs, labs = jax.vmap(one)(p_ci, p_inds)
+            mask = (jnp.arange(N)[None, :] < p_cnt[:, None]
+                    ).astype(jnp.float32)
             vote = i // steps  # scan order: all steps of vote 0, then 1, …
             rotate = (vote > 0).astype(jnp.float32)
             theta = rotate * jax.random.uniform(
                 jax.random.fold_in(jax.random.PRNGKey(rng_seed), i),
-                (c.shape[0],), maxval=2.0 * jnp.pi)
+                (p_ci.shape[0],), maxval=2.0 * jnp.pi)
             cz, sz = jnp.cos(theta), jnp.sin(theta)
-            zero, one = jnp.zeros_like(cz), jnp.ones_like(cz)
+            zero, one_ = jnp.zeros_like(cz), jnp.ones_like(cz)
             rot = jnp.stack([
                 jnp.stack([cz, -sz, zero], -1),
                 jnp.stack([sz, cz, zero], -1),
-                jnp.stack([zero, zero, one], -1)], -2)  # (B, 3, 3)
-            pts = jnp.einsum("bni,bij->bnj", batch["points"], rot)
+                jnp.stack([zero, zero, one_], -1)], -2)  # (B, 3, 3)
+            pts = jnp.einsum("bni,bij->bnj", pts, rot)
+            offs = jnp.einsum("bni,bij->bnj", offs, rot)
             if fourier:
-                f = sampler.norm_factor
-                proj = (2.0 * jnp.pi * (pts * f if f else pts)) \
-                    @ data["fourier_B"].T
+                f = norm_factor
+                proj = (2.0 * jnp.pi * pts) @ data["fourier_B"].T
                 feats = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)],
                                         axis=-1)
-                if f:
-                    feats = feats / f
             else:
                 feats = pts
-            batch = dict(batch, points=pts, features=feats,
-                         offsets=jnp.einsum("bni,bij->bnj",
-                                            batch["offsets"], rot))
+            if norm_factor:  # train_dist.py:322-326 scaling order
+                pts = pts / norm_factor
+                offs = offs / norm_factor
+                feats = feats / norm_factor
+            batch = {"points": pts, "mask": mask, "features": feats,
+                     "offsets": offs, "labels": labs,
+                     "cloud_ind": p_ci, "input_inds": p_inds}
             pred = apply_fn(variables, batch)
             if tanh_offsets:
                 pred = jnp.concatenate(
@@ -292,22 +563,28 @@ def predict_offsets_voting_device(model, variables, cfg,
             if scale:
                 pred = jnp.concatenate(
                     [pred[..., :3] * scale, pred[..., 3:]], axis=-1)
-            w = batch["mask"] * v[:, None]
-            ci = batch["cloud_ind"][:, None]
-            inds = batch["input_inds"]
-            sums = sums.at[ci, inds].add(pred * w[..., None])
-            counts = counts.at[ci, inds].add(w[..., None])
-            return (sums, counts, i + 1), None
+            w = mask * v[:, None]
+            return i + 1, (pred, w)
 
-        centers_v = jnp.concatenate([centers] * num_votes)
+        inds_v = jnp.concatenate([inds] * num_votes)
+        cnts_v = jnp.concatenate([cnts] * num_votes)
+        cis_v = jnp.concatenate([cis] * num_votes)
         valid_v = jnp.concatenate([valid] * num_votes)
-        (sums, counts, _), _ = jax.lax.scan(
-            body, (sums, counts, jnp.int32(0)), (centers_v, valid_v))
-        return sums, counts
+        _, (preds, ws) = jax.lax.scan(
+            body, jnp.int32(0), (inds_v, cnts_v, cis_v, valid_v))
+        # flat global point key per vote; dead votes keep weight 0 and are
+        # harmless at any key
+        keys = (cis_v[..., None].astype(jnp.int32) * max_n
+                + inds_v).reshape(-1)
+        sums, counts = _segment_sums_sorted(
+            keys, preds.reshape(-1, num_outputs), ws.reshape(-1),
+            n_shapes * max_n)
+        return (sums.reshape(n_shapes, max_n, num_outputs),
+                counts.reshape(n_shapes, max_n, 1))
 
-    sums, counts = jax.device_get(run(jax.device_put(variables), data,
-                                      jnp.asarray(centers),
-                                      jnp.asarray(valid)))
+    sums, counts = jax.device_get(run(
+        jax.device_put(variables), data, jnp.asarray(inds),
+        jnp.asarray(cnts), jnp.asarray(cis), jnp.asarray(valid)))
     out = []
     for i, s in enumerate(dataset.shapes):
         k = len(s.points)
@@ -334,6 +611,38 @@ def denoise_clouds_device(model, variables, cfg, dataset: OffsetDataset,
             "denoised": shape.points + off,
             "labels": shape.labels,
             "gt_offsets": shape.offsets,
+        })
+    return results
+
+
+def clean_clouds_device(model, variables, cfg, dataset: OffsetDataset,
+                        batch_size: int = 16,
+                        outlier_threshold: float = 0.5,
+                        norm_factor: Optional[float] = None,
+                        num_votes: int = 1
+                        ) -> List[Dict[str, np.ndarray]]:
+    """Full-cleaning inference through the device-resident voting path:
+    4-dim head, tanh'd (physical) offsets accumulated on device, sigmoid
+    outlierness thresholded at ``outlier_threshold`` on host
+    (qualitative_inference_test.py:411-506 semantics — the device twin of
+    :func:`clean_clouds`)."""
+    raw = predict_offsets_voting_device(
+        model, variables, cfg, dataset, batch_size, 4,
+        tanh_offsets=True, num_votes=num_votes)
+    results = []
+    for shape, pred in zip(dataset.shapes, raw):
+        off = pred[:, :3].copy()
+        if norm_factor:
+            off = off * norm_factor
+        outlier_prob = 1.0 / (1.0 + np.exp(-pred[:, 3]))
+        keep = outlier_prob < outlier_threshold
+        results.append({
+            "noisy": shape.points,
+            "offsets": off,
+            "outlier_prob": outlier_prob,
+            "keep": keep,
+            "denoised": (shape.points + off)[keep],
+            "labels": shape.labels,
         })
     return results
 

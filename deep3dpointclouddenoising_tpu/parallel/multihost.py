@@ -82,6 +82,61 @@ def shard_batch_multihost(mesh: Mesh, local_batch: Any,
     return jax.tree_util.tree_map(put, local_batch)
 
 
+def host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier: block until every process reaches it.
+
+    Uses the distributed runtime's key-value service
+    (``client.wait_at_barrier``), NOT a device collective — so it tolerates
+    arbitrary rank skew up to ``timeout_ms``.  This is the fence for
+    rank-skewed host phases (dataset cache builds, local XLA compiles,
+    checkpoint IO): the FIRST device collective a process runs initializes
+    the CPU backend's Gloo context with a short (~30 s) deadline, so a rank
+    arriving minutes late — routine on a shared host where both ranks
+    compile on the same cores — kills the early rank with
+    ``Gloo context initialization failed: DEADLINE_EXCEEDED``.  Barrier
+    first, then collect.
+
+    The reference's equivalent rank-sync points are DDP construction and
+    ``init_process_group`` (train_dist.py:375,502), which block until all
+    ranks join.  No-op in single-process jobs or when no distributed
+    client is active.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Replicated global arrays from identical per-process host values —
+    WITHOUT collectives.
+
+    ``jax.device_put(host_array, replicated_multiprocess_sharding)`` runs a
+    cross-process ``multihost_utils.assert_equal`` value check (a psum —
+    jax/_src/dispatch.py:483-497), i.e. a device collective with the Gloo
+    context-init deadline; under startup rank skew that reproducibly
+    deadlines.  ``make_array_from_process_local_data`` performs only local
+    transfers (each process supplies the full value as its local
+    replicated shard), so replication is safe at any skew; consistency of
+    the value across ranks is the caller's contract (same seed / same
+    checkpoint), exactly as with the reference's DDP broadcast.
+
+    Leaves that are already global (non-fully-addressable) jax.Arrays pass
+    through untouched.
+    """
+    sh = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def is_coordinator() -> bool:
     """Rank-0 gate for checkpointing/logging (the reference's
     ``dist.get_rank() == 0`` checks, train_dist.py:414-420)."""

@@ -160,7 +160,21 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=opt_state)
-        return jax.device_put(state, self._repl)
+        return self.put_replicated(state)
+
+    def put_replicated(self, tree):
+        """Commit a pytree replicated over the mesh.
+
+        Multi-process jobs route through ``parallel.replicate_tree``:
+        ``device_put`` of host data to a cross-process sharding runs a
+        Gloo-backed cross-process value check (jax dispatch.py:483-497)
+        whose 30 s context-init deadline reproducibly fails under startup
+        rank skew; ``make_array_from_process_local_data`` does only local
+        transfers."""
+        if jax.process_count() > 1:
+            from ..parallel.multihost import replicate_tree
+            return replicate_tree(self.mesh, tree)
+        return jax.device_put(tree, self._repl)
 
     def _leaf_sharding(self, shape: Tuple[int, ...]) -> NamedSharding:
         """Sharding for one batch leaf by shape.
@@ -320,6 +334,8 @@ class Trainer:
 
     def train_step(self, state, batch, rng):
         batch = self.shard_batch(batch)
+        if jax.process_count() > 1:
+            rng = self.put_replicated(rng)
         return self._jit_train(state, batch, rng)
 
     @property
@@ -337,6 +353,8 @@ class Trainer:
             raise NotImplementedError(
                 "train_chunk supports the data-parallel path only")
         chunk = self.shard_chunk(chunk)
+        if jax.process_count() > 1:
+            rng = self.put_replicated(rng)
         return self._jit_train_chunk(state, chunk, rng)
 
     def eval_step(self, state, batch):

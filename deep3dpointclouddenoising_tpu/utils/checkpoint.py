@@ -20,6 +20,11 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+# log_dirs this process has already checkpointed once (see save_checkpoint:
+# the FIRST completed epoch of a run always writes `current`)
+_first_saved: set = set()
+
+
 def save_checkpoint(log_dir: str, epoch: int, state: Any,
                     save_freq: int = 10, current_freq: int = 1,
                     force: bool = False) -> None:
@@ -39,9 +44,17 @@ def save_checkpoint(log_dir: str, epoch: int, state: Any,
     jax.Arrays in that case: orbax's primary-host logic writes each
     replicated array exactly once, while a device_get'd numpy tree would
     make every host race to write the same files."""
+    # the FIRST completed epoch of each run always writes `current`: with
+    # current_freq=5 and save_freq=10 a fresh run would otherwise have NO
+    # checkpoint until epoch 5, so a stall-kill in that window (exactly
+    # what the supervisor exists for) would lose everything, including a
+    # --load_weights_path warm start's progress
+    first = os.path.abspath(log_dir) not in _first_saved
     periodic = bool(save_freq) and epoch % save_freq == 0
-    if not (force or periodic or epoch % max(int(current_freq), 1) == 0):
+    if not (force or first or periodic
+            or epoch % max(int(current_freq), 1) == 0):
         return
+    _first_saved.add(os.path.abspath(log_dir))
     ckpt = _checkpointer()
     multihost = jax.process_count() > 1
     if not multihost:

@@ -43,15 +43,22 @@ def main():
                         "cloud point, the ResPCPNet predicts the center "
                         "offset only (qualitative_inference_test.py:353-403)")
     p.add_argument("--device_voting", action="store_true",
-                   help="run the whole voting protocol on device (clouds "
-                        "resident, patch extraction + forward + vote "
-                        "scatter in one jitted scan, incl. augmentation "
-                        "vote rounds when --num_votes > 1); offset "
-                        "regression")
+                   help="run the voting protocol on device: clouds "
+                        "resident, host-precomputed patch indices, "
+                        "forward + scatter-free vote reduction in one "
+                        "jitted executable (incl. augmentation vote "
+                        "rounds when --num_votes > 1); offset regression "
+                        "and --full_cleaning heads")
     p.add_argument("--spatial", action="store_true",
                    help="denoise each full cloud in one forward with the "
                         "point axis sharded over the device mesh "
                         "(parallel.spatial) instead of patch voting")
+    p.add_argument("--chunk_steps", type=int, default=16,
+                   help="host-voting paths: stack this many eval batches "
+                        "per device dispatch (one H2D + one scan executable "
+                        "+ one D2H per chunk — the eval analogue of the "
+                        "training loop's steps_per_dispatch); 0 restores "
+                        "the per-batch dispatch")
     p.add_argument("--num_votes", type=int, default=1,
                    help="augmentation-based voting rounds: rounds past the "
                         "first rotate patches by a random z-angle, predict, "
@@ -108,11 +115,6 @@ def main():
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
     norm_factor = float(cfg.in_radius) / 100.0 if cfg.norm else None
-    # full-cleaning applies tanh to the offset channels downstream, so the
-    # un-normalization happens there (f*tanh(raw)); offset regression
-    # rescales the raw outputs directly
-    predict = make_predict_fn(model, variables, norm_factor=norm_factor,
-                              scale_outputs=not args.full_cleaning)
 
     variables_lo = route_low = None
     if args.checkpoint_low:
@@ -120,24 +122,58 @@ def main():
             p.error("--checkpoint_low routes the voting paths only")
         from deep3dpointclouddenoising_tpu.evaluate import \
             estimate_noise_sigma
-        from deep3dpointclouddenoising_tpu.infer import \
-            make_routed_predict_fn
         state_lo = load_checkpoint(args.checkpoint_low)
         variables_lo = {"params": state_lo["params"],
                         "batch_stats": state_lo["batch_stats"]}
-        predict_lo = make_predict_fn(model, variables_lo,
-                                     norm_factor=norm_factor,
-                                     scale_outputs=not args.full_cleaning)
         sigmas = [estimate_noise_sigma(s.points) for s in dataset.shapes]
         route_low = np.asarray([s < args.route_sigma for s in sigmas])
         for name, sg, lo in zip(dataset.cloud_names, sigmas, route_low):
             print(f"route {os.path.basename(name)}: est sigma {sg:.2e} -> "
                   f"{'LOW' if lo else 'HIGH'}-noise checkpoint")
-        predict = make_routed_predict_fn(predict, predict_lo, route_low)
+
+    # full-cleaning applies tanh to the offset channels downstream, so the
+    # un-normalization happens there (f*tanh(raw)); offset regression
+    # rescales the raw outputs directly
+    chunk_steps = max(int(args.chunk_steps), 0)
+    if chunk_steps and not (args.device_voting or args.spatial):
+        # production default: scan-batched dispatch — S batches per
+        # executable, one D2H per chunk (checkpoint routing folds into
+        # the same scan)
+        from deep3dpointclouddenoising_tpu.infer import make_chunk_predict_fn
+        predict = make_chunk_predict_fn(
+            model, variables, norm_factor=norm_factor,
+            scale_outputs=not args.full_cleaning,
+            variables_lo=variables_lo, route_low=route_low)
+    else:
+        predict = make_predict_fn(model, variables, norm_factor=norm_factor,
+                                  scale_outputs=not args.full_cleaning)
+        if variables_lo is not None:
+            from deep3dpointclouddenoising_tpu.infer import \
+                make_routed_predict_fn
+            predict_lo = make_predict_fn(
+                model, variables_lo, norm_factor=norm_factor,
+                scale_outputs=not args.full_cleaning)
+            predict = make_routed_predict_fn(predict, predict_lo, route_low)
 
     if args.device_voting:
-        if args.full_cleaning or args.spatial:
-            p.error("--device_voting supports offset regression")
+        if args.spatial:
+            p.error("--device_voting and --spatial are exclusive")
+        if args.full_cleaning:
+            from deep3dpointclouddenoising_tpu.infer import \
+                clean_clouds_device
+            results = clean_clouds_device(model, variables, cfg, dataset,
+                                          batch_size=cfg.batch_size,
+                                          norm_factor=norm_factor,
+                                          num_votes=args.num_votes)
+            if route_low is not None and route_low.any():
+                results_lo = clean_clouds_device(
+                    model, variables_lo, cfg, dataset,
+                    batch_size=cfg.batch_size, norm_factor=norm_factor,
+                    num_votes=args.num_votes)
+                results = [lo_r if lo else hi_r for hi_r, lo_r, lo
+                           in zip(results, results_lo, route_low)]
+            write_results(args, dataset, results)
+            return
         results = denoise_clouds_device(model, variables, cfg, dataset,
                                         batch_size=cfg.batch_size,
                                         scale=norm_factor,
@@ -162,11 +198,13 @@ def main():
             results = clean_clouds(predict, dataset,
                                    batch_size=cfg.batch_size,
                                    norm_factor=norm_factor,
-                                   num_votes=args.num_votes)
+                                   num_votes=args.num_votes,
+                                   chunk_steps=chunk_steps)
         else:
             results = denoise_clouds(predict, dataset,
                                      batch_size=cfg.batch_size,
-                                     num_votes=args.num_votes)
+                                     num_votes=args.num_votes,
+                                     chunk_steps=chunk_steps)
 
     write_results(args, dataset, results)
 

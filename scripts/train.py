@@ -169,10 +169,13 @@ def main():
         logger.info(f"resumed from {cfg.load_path} at step {int(state.step)}")
     elif args.load_weights_path and not (
             args.auto_resume
-            and os.path.isdir(os.path.join(cfg.log_dir, "current"))):
-        # warm start (weights only, fresh optimizer + schedule); an
-        # existing auto-resume state takes precedence so a supervised
-        # relaunch keeps fine-tune progress instead of restarting it
+            and (os.path.isdir(os.path.join(cfg.log_dir, "current"))
+                 or latest_epoch_checkpoint(cfg.log_dir))):
+        # warm start (weights only, fresh optimizer + schedule); ANY
+        # existing auto-resume state — `current` OR a periodic
+        # ckpt_epoch_N (a kill can interrupt the `current` save itself) —
+        # takes precedence so a supervised relaunch keeps fine-tune
+        # progress instead of silently restarting from the donor weights
         from deep3dpointclouddenoising_tpu.utils.checkpoint import \
             load_weights
         state = load_weights(args.load_weights_path, state)
@@ -209,6 +212,34 @@ def main():
         sampled_step = build_sampled_train_chunk(trainer, sampler)
         logger.info("device sampler: clouds resident on device, "
                     f"chunk={max(chunk_size, 1)} steps/dispatch")
+
+    if n_proc > 1:
+        # Fence startup rank skew away from the first device collective:
+        # dataset cache builds, checkpoint restores, and the first XLA
+        # compile all run at per-rank speed (minutes of skew on a shared
+        # host), while the CPU backend's Gloo context init — triggered by
+        # the FIRST collective — has a ~30 s deadline.  So: compile the
+        # step executable LOCALLY first (AOT lower/compile runs no
+        # collectives), then align every rank at a coordination-service
+        # barrier, then start stepping.  The reference's DDP constructor
+        # is the same fence (train_dist.py:375 blocks until all ranks).
+        from deep3dpointclouddenoising_tpu.parallel import host_barrier
+        logger.info("multihost: precompiling the train step...")
+        ex_local = next(_localized(iter([example])))
+        if chunk_size > 1:
+            ex_chunk = {k: np.stack([np.asarray(v)] * chunk_size)
+                        for k, v in ex_local.items()}
+            trainer._jit_train_chunk.lower(
+                state, trainer.shard_chunk(ex_chunk),
+                trainer.put_replicated(rng)).compile()
+        else:
+            trainer._jit_train.lower(
+                state, trainer.shard_batch(ex_local),
+                trainer.put_replicated(rng)).compile()
+        logger.info("multihost: train step compiled; waiting at the "
+                    "startup barrier...")
+        host_barrier("startup")
+        logger.info("multihost: all ranks aligned")
 
     for epoch in range(int(cfg.start_epoch), int(cfg.epochs) + 1):
         tic = time.time()
@@ -323,6 +354,14 @@ def main():
         # writes each replicated array exactly once
         save_checkpoint(cfg.log_dir, epoch, state, save_freq=cfg.save_freq,
                         current_freq=5, force=epoch == int(cfg.epochs))
+
+    if n_proc > 1:
+        # align ranks before process teardown: the fast rank exiting tears
+        # down its side of the distributed runtime while the slow rank may
+        # still be inside a collective ("Shutdown barrier has failed")
+        from deep3dpointclouddenoising_tpu.parallel import host_barrier
+        jax.block_until_ready(state.params)
+        host_barrier("shutdown")
 
 
 if __name__ == "__main__":

@@ -305,3 +305,57 @@ def test_device_voting_multivote_fourier(tmp_path):
     gt = ds.shapes[0].offsets
     covered = np.abs(votes[0]).max(axis=1) > 0
     np.testing.assert_allclose(votes[0][covered], gt[covered], atol=5e-5)
+
+
+def test_segment_sums_sorted_oracle(rng):
+    """The scatter-free sort+prefix-sum vote reduction must equal a numpy
+    scatter-add oracle, including zero-weight rows and empty keys."""
+    from deep3dpointclouddenoising_tpu.infer import _segment_sums_sorted
+
+    T, C, K = 5000, 4, 700
+    keys = rng.integers(0, K, T).astype(np.int32)
+    vals = rng.standard_normal((T, C)).astype(np.float32)
+    w = (rng.random(T) > 0.3).astype(np.float32)
+    sums, counts = jax.jit(
+        lambda k, v, ww: _segment_sums_sorted(k, v, ww, K))(keys, vals, w)
+    want_s = np.zeros((K, C), np.float64)
+    want_c = np.zeros((K,), np.float64)
+    np.add.at(want_s, keys, vals * w[:, None])
+    np.add.at(want_c, keys, w)
+    np.testing.assert_allclose(np.asarray(sums), want_s, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(counts)[:, 0], want_c, atol=1e-5)
+
+
+def test_device_full_cleaning_matches_host(tmp_path):
+    """clean_clouds_device == clean_clouds under a deterministic 4-dim
+    mock (tanh'd physical offsets + sigmoid outlierness threshold)."""
+    from deep3dpointclouddenoising_tpu.infer import (clean_clouds,
+                                                     clean_clouds_device)
+
+    shapes = {"sphere": make_icosphere(2)}
+    ds = OffsetDataset(str(tmp_path), "qualitative_test", in_radius=0.4,
+                       num_points=64, num_steps=1, num_epochs=1,
+                       num_points_per_shape=1200, noise_type="gaussian",
+                       noise_level=0.005, shapes=shapes, seed=0,
+                       sample_dl_patches=0.4)
+    cfg = make_cfg(num_points=64, in_radius=0.4)
+
+    class _Mock4:
+        def apply(self, variables, points, mask, features, train=False):
+            out = jnp.tanh(points) * 0.01
+            outl = jnp.sum(points, axis=-1, keepdims=True) * 5.0
+            return jnp.concatenate([out, outl], axis=-1)
+
+    def host_pred(batch):
+        pts = jnp.asarray(batch["points"])
+        return np.asarray(jnp.concatenate(
+            [jnp.tanh(pts) * 0.01,
+             jnp.sum(pts, axis=-1, keepdims=True) * 5.0], axis=-1))
+
+    host = clean_clouds(host_pred, ds, batch_size=4)
+    dev = clean_clouds_device(_Mock4(), {}, cfg, ds, batch_size=4)
+    np.testing.assert_allclose(dev[0]["offsets"], host[0]["offsets"],
+                               atol=2e-4)
+    np.testing.assert_allclose(dev[0]["outlier_prob"],
+                               host[0]["outlier_prob"], atol=2e-4)
+    assert (dev[0]["keep"] == host[0]["keep"]).mean() > 0.995

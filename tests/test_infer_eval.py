@@ -308,3 +308,108 @@ def test_routed_predictor_selects_per_cloud(test_dataset):
         covered = np.abs(votes[0]).max(axis=1) > 0
         assert covered.any()
         np.testing.assert_allclose(votes[0][covered], want, atol=1e-6)
+
+
+def test_chunked_voting_matches_per_batch(test_dataset):
+    """The scan-batched voting loop (predict_offsets_voting_chunked) must
+    reproduce the per-batch path exactly — same vote rounds, same
+    rotations (shared rng_seed stream), ragged tail padded not scattered.
+    chunk_steps=3 does not divide the batch count, exercising the pad."""
+    from deep3dpointclouddenoising_tpu.infer import \
+        predict_offsets_voting_chunked
+
+    def equivariant(batch):
+        return 0.1 * np.asarray(batch["points"], np.float32)
+
+    def equivariant_chunk(stacked):
+        return 0.1 * np.asarray(stacked["points"], np.float32)
+
+    for votes, bs in ((1, 2), (3, 2), (1, 3)):
+        # bs=3: the patch count is not divisible, exercising the ragged
+        # final BATCH (zero-mask row padding) as well as the ragged chunk
+        ref = predict_offsets_voting(equivariant, test_dataset,
+                                     batch_size=bs, num_votes=votes)
+        got = predict_offsets_voting_chunked(
+            equivariant_chunk, test_dataset, batch_size=bs,
+            num_votes=votes, chunk_steps=3)
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-6)
+
+
+def test_chunk_predict_fn_matches_per_batch_model():
+    """make_chunk_predict_fn's lax.scan forward must equal the per-batch
+    jitted forward on every step of a stacked chunk, including the
+    norm_factor scaling split (offsets scaled, outlierness channel not)."""
+    import jax
+    from deep3dpointclouddenoising_tpu.config import default_config
+    from deep3dpointclouddenoising_tpu.infer import (make_chunk_predict_fn,
+                                                     make_predict_fn)
+    from deep3dpointclouddenoising_tpu.models import build_complete_denoising
+
+    cfg = default_config()
+    cfg.num_points = 32
+    cfg.width = 16
+    cfg.depth = 1
+    cfg.radius = 0.2
+    cfg.sampleDl = 0.1
+    cfg.nsamples = [4, 4, 4, 4, 4]
+    cfg.npoints = [8, 4, 2, 1]
+    cfg.local_aggregation_type = "pseudo_grid"
+    model, _ = build_complete_denoising(cfg)
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((3, 2, 32, 3)).astype(np.float32) * 0.1
+    mask = np.ones((3, 2, 32), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), pts[0], mask[0], pts[0],
+                           train=False)
+    f = 0.0005
+    per_batch = make_predict_fn(model, variables, norm_factor=f)
+    chunked = make_chunk_predict_fn(model, variables, norm_factor=f)
+    stacked = {"points": pts, "mask": mask, "features": pts.copy()}
+    got = np.asarray(chunked(stacked))
+    assert got.shape[:2] == (3, 2)
+    for s in range(3):
+        want = np.asarray(per_batch(
+            {"points": pts[s], "mask": mask[s], "features": pts[s]}))
+        np.testing.assert_allclose(got[s], want, rtol=1e-4, atol=1e-6)
+
+
+def test_chunked_routing_selects_per_cloud(test_dataset):
+    """Checkpoint routing folded into the chunk scan: routed clouds keep
+    the low-noise weights' predictions through the full chunked voting
+    pipeline."""
+    import jax
+    from deep3dpointclouddenoising_tpu.config import default_config
+    from deep3dpointclouddenoising_tpu.infer import (
+        denoise_clouds, make_chunk_predict_fn, make_predict_fn,
+        make_routed_predict_fn)
+    from deep3dpointclouddenoising_tpu.models import build_offset_regression
+
+    cfg = default_config()
+    cfg.num_points = 128
+    cfg.width = 16
+    cfg.depth = 1
+    cfg.radius = 0.2
+    cfg.sampleDl = 0.1
+    cfg.nsamples = [4, 4, 4, 4, 4]
+    cfg.npoints = [32, 16, 8, 4]
+    cfg.local_aggregation_type = "pseudo_grid"
+    cfg.head = "offset_reg_head"
+    model, _ = build_offset_regression(cfg)
+    s0 = test_dataset.get(0)
+    variables_hi = model.init(jax.random.PRNGKey(0), s0["points"][None],
+                              s0["mask"][None], s0["features"][None],
+                              train=False)
+    variables_lo = model.init(jax.random.PRNGKey(7), s0["points"][None],
+                              s0["mask"][None], s0["features"][None],
+                              train=False)
+    route = np.array([True])
+
+    ref = denoise_clouds(make_routed_predict_fn(
+        make_predict_fn(model, variables_hi),
+        make_predict_fn(model, variables_lo), route),
+        test_dataset, batch_size=2)
+    got = denoise_clouds(make_chunk_predict_fn(
+        model, variables_hi, variables_lo=variables_lo, route_low=route),
+        test_dataset, batch_size=2, chunk_steps=2)
+    np.testing.assert_allclose(got[0]["offsets"], ref[0]["offsets"],
+                               rtol=1e-4, atol=1e-6)
