@@ -420,6 +420,7 @@ def measure_voting(batch: int = BATCH, n_cloud: int = 140_000,
 
     from deep3dpointclouddenoising_tpu.infer import \
         predict_offsets_voting_device
+    from deep3dpointclouddenoising_tpu.utils.native import GridIndex
 
     host_rng = np.random.default_rng(0)
     # sphere surface at the synthetic-quality scale (bbox diagonal 1)
@@ -427,15 +428,39 @@ def measure_voting(batch: int = BATCH, n_cloud: int = 140_000,
     v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
     pts = v * 0.2887 + host_rng.normal(
         size=(n_cloud, 3)).astype(np.float32) * 0.005 * 0.5
+    pts = pts.astype(np.float32)
     centers = host_rng.integers(0, n_cloud, n_centers).astype(np.int32)
-    duck = SimpleNamespace(
-        shapes=[SimpleNamespace(
-            points=pts.astype(np.float32),
-            offsets=np.zeros((n_cloud, 3), np.float32),
-            labels=np.zeros(n_cloud, np.int32))],
-        point_inds=centers,
-        cloud_inds=np.zeros(n_centers, np.int32),
-        num_steps=n_centers, fourier_B=None, fourier_features=False)
+
+    class _VotingDataset:
+        """Minimal dataset for the device-voting protocol: real host
+        patch extraction (native fused assembler — the r5 device path
+        precomputes patch indices on the host) over the synthetic cloud."""
+
+        def __init__(self):
+            self.shapes = [SimpleNamespace(
+                points=pts, offsets=np.zeros((n_cloud, 3), np.float32),
+                labels=np.zeros(n_cloud, np.int32))]
+            self.point_inds = centers
+            self.cloud_inds = np.zeros(n_centers, np.int32)
+            self.num_steps = n_centers
+            self.fourier_B = None
+            self.fourier_features = False
+            self._grid = GridIndex(pts, cell=float(cfg.in_radius))
+
+        def __len__(self):
+            return n_centers
+
+        def get(self, i, epoch=0):
+            c = int(self.point_inds[i])
+            s = self.shapes[0]
+            p, offs, labs, mask, inds, _ = self._grid.assemble_patch(
+                pts[c], c, float(cfg.in_radius), int(cfg.num_points),
+                seed=(0, i), offsets=s.offsets, labels=s.labels)
+            return {"points": p, "mask": mask, "features": p.copy(),
+                    "offsets": offs, "labels": labs,
+                    "cloud_ind": np.int32(0), "input_inds": inds}
+
+    duck = _VotingDataset()
 
     variables = model.init(jax.random.PRNGKey(0), b["points"], b["mask"],
                            b["features"], train=False)

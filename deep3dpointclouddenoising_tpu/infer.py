@@ -395,35 +395,11 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
     return results
 
 
-def _segment_sums_sorted(keys: jnp.ndarray, vals: jnp.ndarray,
-                         w: jnp.ndarray, n_out: int
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter-free segment sums: (T,) int keys, (T, C) values, (T,) weights
-    -> per-key sums (n_out, C) and weight counts (n_out, 1).
-
-    TPU XLA scatters serialize (~microseconds per scattered row — the
-    reason round 4's per-step ``sums.at[ci, inds].add`` voting ran 9x
-    slower than its own forward), so the reduction here is sort + prefix
-    sum + boundary lookup, all dense vector ops:
-      1. sort rows by key (argsort + gathers);
-      2. inclusive prefix sums along the sorted axis (log-depth scan);
-      3. per output key, locate its sorted [start, end) range with a
-         vectorized binary search and subtract prefix sums at the
-         boundaries.
-    Zero-weight rows contribute zero to both sums and counts, so callers
-    can route dead votes to key 0 instead of masking.
-    """
-    order = jnp.argsort(keys)
-    sk = keys[order]
-    sv = (vals * w[:, None])[order]
-    sw = w[order]
-    csum = jnp.concatenate(
-        [jnp.zeros((1, vals.shape[-1]), sv.dtype), jnp.cumsum(sv, axis=0)])
-    cw = jnp.concatenate([jnp.zeros((1,), sw.dtype), jnp.cumsum(sw)])
-    q = jnp.arange(n_out, dtype=keys.dtype)
-    start = jnp.searchsorted(sk, q, side="left")
-    end = jnp.searchsorted(sk, q, side="right")
-    return csum[end] - csum[start], (cw[end] - cw[start])[:, None]
+# scatter-free sort+prefix-sum segment reduction (shared with the
+# large-support gather backward) — the reason round 4's per-step
+# ``sums.at[ci, inds].add`` voting ran 9x slower than its own forward is
+# that TPU XLA scatters serialize per scattered row
+from .ops.neighbors import segment_sums_sorted as _segment_sums_sorted
 
 
 def predict_offsets_voting_device(model, variables, cfg,

@@ -175,17 +175,70 @@ def masked_nearest_query(query_xyz: jnp.ndarray, support_xyz: jnp.ndarray,
 _ONEHOT_BWD_MAX_N = 2048
 
 
+def segment_sums_sorted(keys: jnp.ndarray, vals: jnp.ndarray, w: jnp.ndarray,
+                        n_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free segment sums: (T,) int keys, (T, C) values, (T,) weights
+    -> per-key sums (n_out, C) and weight counts (n_out, 1).
+
+    TPU XLA scatters serialize (microseconds per scattered row), so the
+    reduction is sort + segmented scan + boundary lookup, all dense vector
+    ops:
+      1. sort rows by key (argsort + gathers);
+      2. SEGMENTED inclusive scan along the sorted axis (log-depth
+         ``associative_scan`` whose carry resets at each new key — unlike
+         a global cumsum + subtraction, rounding error stays bounded by
+         the segment's own sum, so results match a serial scatter-add to
+         f32 noise even for millions of rows);
+      3. per output key, locate its sorted [start, end) range with a
+         vectorized binary search and read the scan at end-1.
+    Zero-weight rows contribute zero to both sums and counts, so callers
+    can route dead rows to key 0 instead of masking.  Used by the
+    large-support gather backward below and by the device-voting
+    accumulation (infer.predict_offsets_voting_device).
+    """
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    sv = (vals * w[:, None])[order]
+    sw = w[order][:, None]
+    T = sk.shape[0]
+    heads = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]).astype(sv.dtype)[:, None]
+
+    def op(a, b):
+        af, av, aw_ = a
+        bf, bv, bw = b
+        m = 1.0 - bf  # b starts a new segment -> drop the carried sum
+        return jnp.maximum(af, bf), bv + m * av, bw + m * aw_
+
+    _, seg_v, seg_w = jax.lax.associative_scan(op, (heads, sv, sw))
+    q = jnp.arange(n_out, dtype=sk.dtype)
+    start = jnp.searchsorted(sk, q, side="left")
+    end = jnp.searchsorted(sk, q, side="right")
+    has = (end > start)[:, None]
+    last = jnp.clip(end - 1, 0, T - 1)
+    sums = jnp.where(has, seg_v[last], 0.0)
+    counts = jnp.where(has, seg_w[last], 0.0)
+    return sums, counts
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_rows_impl(features: jnp.ndarray, idx: jnp.ndarray, n: int,
                       dtype) -> jnp.ndarray:
-    """(B, N, C) x (B, R) -> (B, R, C) row gather whose BACKWARD is a
-    one-hot matmul instead of an XLA scatter-add.
+    """(B, N, C) x (B, R) -> (B, R, C) row gather with a scatter-free
+    BACKWARD.
 
-    TPU scatters serialize (~20 GB/s effective); for the support-set sizes
-    this framework uses (<= ~2k rows) the transposed one-hot contraction
-    d_feat[b,n,c] = sum_r [idx[b,r]==n] * g[b,r,c] runs on the MXU orders of
-    magnitude faster.  This is the autodiff twin of the reference's
-    hand-written atomicAdd kernel (group_points_gpu.cu:42-80).
+    TPU scatters serialize (~20 GB/s effective, with large per-row
+    overhead); the backward is
+      * a transposed one-hot MXU contraction
+        d_feat[b,n,c] = sum_r [idx[b,r]==n] * g[b,r,c] for supports up to
+        ``_ONEHOT_BWD_MAX_N`` rows (one-hot FLOPs scale O(R*N) — cheap
+        only while N is small), and
+      * a sort + prefix-sum segment reduction (:func:`segment_sums_sorted`)
+        past that — O(R log R) independent of N, which keeps the
+        15000-point chamfer configs (chamfer_5e3.yaml:20) off XLA's
+        serializing scatter path.
+    This is the autodiff twin of the reference's hand-written atomicAdd
+    kernel (group_points_gpu.cu:42-80).
     """
     return jnp.take_along_axis(features, idx[..., None], axis=1)
 
@@ -195,13 +248,15 @@ def _gather_rows_fwd(features, idx, n, dtype):
 
 
 def _gather_rows_bwd(n, dtype, idx, g):
-    B = idx.shape[0]
     if n <= _ONEHOT_BWD_MAX_N:
         onehot = jax.nn.one_hot(idx, n, dtype=g.dtype)     # (B, R, N)
         d_features = jnp.einsum("brn,brc->bnc", onehot, g)
     else:
-        d_features = jnp.zeros((B, n, g.shape[-1]), g.dtype).at[
-            jnp.arange(B)[:, None], idx].add(g)
+        def one(idx_b, g_b):
+            sums, _ = segment_sums_sorted(
+                idx_b, g_b, jnp.ones(idx_b.shape[0], g.dtype), n)
+            return sums
+        d_features = jax.vmap(one)(idx, g.astype(jnp.float32))
     return d_features.astype(dtype), jnp.zeros_like(idx)
 
 

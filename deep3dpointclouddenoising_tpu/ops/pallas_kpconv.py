@@ -546,11 +546,21 @@ def _vjp_bwd(extent, influence, interpret, res, g):
     # d grouped[b,m,k,c] = g[b,m,c] * sum_p w[b,m,k,p] kw[p,c]
     wc = jnp.einsum("bmkp,pc->bmkc", w, kernel_weights)
     d_grouped = wc * g[:, :, None, :]
-    # scatter-add back to support features (reference group_points_grad)
-    d_features = jnp.zeros_like(features)
-    d_features = d_features.at[
-        jnp.arange(B)[:, None], idx.reshape(B, M * K)].add(
-        d_grouped.reshape(B, M * K, C).astype(features.dtype))
+    # accumulate back to support features (reference group_points_grad,
+    # group_points_gpu.cu:42-80) — scatter-free sort + prefix-sum
+    # reduction: XLA TPU scatters serialize per row, which put the
+    # 15k-point chamfer configs on a ~seconds-per-step backward
+    from .neighbors import segment_sums_sorted
+
+    def one(idx_b, vals_b):
+        sums, _ = segment_sums_sorted(
+            idx_b, vals_b, jnp.ones(idx_b.shape[0], jnp.float32), N)
+        return sums
+
+    d_features = jax.vmap(one)(
+        idx.reshape(B, M * K),
+        d_grouped.reshape(B, M * K, C).astype(jnp.float32)
+    ).astype(features.dtype)
     # d kw[p,c] = sum_{b,m,k} w * grouped * g
     grouped = jnp.take_along_axis(
         features, idx.reshape(B, M * K)[..., None], axis=1

@@ -63,12 +63,18 @@ def main():
                    help="augmentation-based voting rounds: rounds past the "
                         "first rotate patches by a random z-angle, predict, "
                         "and rotate the offsets back before vote-averaging")
-    p.add_argument("--checkpoint_low", type=str, default=None,
+    p.add_argument("--checkpoint_low", type=str, default="auto",
                    help="low-noise-regime checkpoint (e.g. diverse_stable); "
                         "each cloud's noise sigma is estimated train-free "
                         "(evaluate.estimate_noise_sigma) and clouds below "
                         "--route_sigma are denoised with this checkpoint "
-                        "instead of --checkpoint")
+                        "instead of --checkpoint.  Default 'auto': look "
+                        "for a sibling experiment dir of --checkpoint "
+                        "whose name ends in '_stable' or '_stable_low' "
+                        "(deployed two-regime routing — the single-"
+                        "checkpoint default otherwise reproduces the "
+                        "low-noise overshoot, RESULTS.md); 'none' "
+                        "disables routing")
     p.add_argument("--route_sigma", type=float, default=0.002,
                    help="routing threshold (absolute sigma, bbox diag = 1) "
                         "for --checkpoint_low")
@@ -116,6 +122,13 @@ def main():
                  "batch_stats": state["batch_stats"]}
     norm_factor = float(cfg.in_radius) / 100.0 if cfg.norm else None
 
+    if args.checkpoint_low == "auto":
+        args.checkpoint_low = _auto_low_checkpoint(args.checkpoint)
+        if args.checkpoint_low:
+            print(f"routing: auto-discovered low-noise checkpoint "
+                  f"{args.checkpoint_low}")
+    elif args.checkpoint_low in ("none", ""):
+        args.checkpoint_low = None
     variables_lo = route_low = None
     if args.checkpoint_low:
         if args.spatial:
@@ -207,6 +220,30 @@ def main():
                                      chunk_steps=chunk_steps)
 
     write_results(args, dataset, results)
+
+
+def _auto_low_checkpoint(checkpoint: str):
+    """Deployed default: discover a low-noise specialist next to the main
+    checkpoint.
+
+    ``log/<experiment>/current`` -> first of ``log/<experiment>_stable``,
+    ``log/<experiment>_stable_low``, ``log/<experiment>stable_low`` (for
+    ``*_diverse`` -> ``*_stable_low`` naming) that holds the same
+    checkpoint leaf.  Returns None when no sibling exists (single-
+    checkpoint behavior, as before)."""
+    path = os.path.abspath(checkpoint)
+    exp_dir, leaf = os.path.split(path)
+    root, exp = os.path.split(exp_dir)
+    if not exp:
+        return None
+    candidates = [exp + "_stable", exp + "_stable_low"]
+    if exp.endswith("_diverse"):
+        candidates.append(exp[: -len("_diverse")] + "_stable_low")
+    for cand in candidates:
+        p = os.path.join(root, cand, leaf)
+        if os.path.isdir(p) or os.path.isfile(p):
+            return p
+    return None
 
 
 def run_pcn(args, cfg, dataset):

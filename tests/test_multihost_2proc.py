@@ -66,6 +66,7 @@ def test_two_process_train(tmp_path):
     port = _free_port()
 
     procs = []
+    out_files = []
     for pid in range(2):
         env = dict(os.environ)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -81,19 +82,37 @@ def test_two_process_train(tmp_path):
             "--coordinator_address", f"localhost:{port}",
             "--num_processes", "2", "--process_id", str(pid),
         ]
+        # stream rank output to files so a timeout is diagnosable (a PIPE
+        # would lose everything when the rank is killed)
+        f = open(str(tmp_path / f"rank{pid}.out"), "w+")
+        out_files.append(f)
         procs.append(subprocess.Popen(
             cmd, cwd=REPO, env=env, text=True,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+            stdout=f, stderr=subprocess.STDOUT))
 
     outs = []
-    for p in procs:
+    deadline = 900
+    import time as _time
+    t0 = _time.time()
+    for pid, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=900)
+            p.wait(timeout=max(10, deadline - (_time.time() - t0)))
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multihost 2-process run timed out")
-        outs.append(out)
+            tails = []
+            for qid, f in enumerate(out_files):
+                f.flush()
+                f.seek(0)
+                tails.append(f"--- rank {qid} tail ---\n"
+                             + f.read()[-3000:])
+            pytest.fail("multihost 2-process run timed out\n"
+                        + "\n".join(tails))
+    for f in out_files:
+        f.flush()
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \

@@ -166,3 +166,49 @@ def test_group_xyz_relative(rng):
         for k in range(K):
             np.testing.assert_allclose(rel[0, m, k], s[0, idx[0, m, k]] - q[0, m],
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_gather_rows_backward_large_support(rng):
+    """Past the one-hot cutoff (support N > 2048) the gather backward runs
+    the scatter-free sort+prefix-sum reduction — it must equal the
+    scatter-add oracle exactly (same adds, different order)."""
+    import jax
+    import jax.numpy as jnp
+    from deep3dpointclouddenoising_tpu.ops.neighbors import (
+        _ONEHOT_BWD_MAX_N, group_features)
+
+    B, N, C, M, K = 2, _ONEHOT_BWD_MAX_N + 700, 5, 64, 7
+    feats = rng.standard_normal((B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, (B, M, K)).astype(np.int32)
+    g = rng.standard_normal((B, M, K, C)).astype(np.float32)
+
+    def loss(f):
+        return jnp.sum(group_features(f, jnp.asarray(idx)) * g)
+
+    got = jax.grad(loss)(jnp.asarray(feats))
+    want = np.zeros((B, N, C), np.float64)
+    for b in range(B):
+        np.add.at(want[b], idx[b].reshape(-1), g[b].reshape(-1, C))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_segment_sums_sorted_matches_onehot(rng):
+    """segment_sums_sorted must agree with the one-hot contraction on the
+    small-N regime both paths can run."""
+    import jax
+    import jax.numpy as jnp
+    from deep3dpointclouddenoising_tpu.ops.neighbors import \
+        segment_sums_sorted
+
+    T, N, C = 900, 300, 4
+    keys = rng.integers(0, N, T).astype(np.int32)
+    vals = rng.standard_normal((T, C)).astype(np.float32)
+    w = np.ones(T, np.float32)
+    sums, counts = jax.jit(
+        lambda k, v, ww: segment_sums_sorted(k, v, ww, N))(keys, vals, w)
+    onehot = jax.nn.one_hot(keys, N, dtype=jnp.float32)
+    want = jnp.einsum("tn,tc->nc", onehot, jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(counts)[:, 0],
+                               np.bincount(keys, minlength=N), atol=1e-5)
