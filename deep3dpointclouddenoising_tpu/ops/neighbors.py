@@ -65,6 +65,9 @@ def _pairwise_sqdist_mxu(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(qq - 2.0 * cross + ss, 0.0)
 
 
+_SORT_SELECT_MAX_N = 4096
+
+
 def _ball_query_tile(q: jnp.ndarray, qmask: jnp.ndarray, s: jnp.ndarray,
                      smask: jnp.ndarray, radius: float, nsample: int
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -75,8 +78,19 @@ def _ball_query_tile(q: jnp.ndarray, qmask: jnp.ndarray, s: jnp.ndarray,
     if nsample > d2.shape[-1]:  # fewer support slots than capacity
         pad = nsample - d2.shape[-1]
         d2 = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=_BIG)
-    # top_k of -d2 gives the nsample smallest distances, sorted ascending.
-    neg, idx = jax.lax.top_k(-d2, nsample)  # (M,nsample)
+    if d2.shape[-1] <= _SORT_SELECT_MAX_N:
+        # Measured on v5e (scripts/profile_ops.py): XLA's TopK runs ~k
+        # sequential max passes, costing ~2 ms for (8000, 500) at k=26,
+        # while ONE stable full sort of the row is ~4x cheaper at these
+        # widths and capacities (k is 26-52 here) — and sorted-ascending
+        # output is exactly the semantics the ball query needs.
+        iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        sd2, sidx = jax.lax.sort((d2, iota), dimension=-1, num_keys=1)
+        neg = -sd2[:, :nsample]
+        idx = sidx[:, :nsample]
+    else:
+        # large support: k passes beat log^2(N) bitonic stages
+        neg, idx = jax.lax.top_k(-d2, nsample)  # (M,nsample)
     idx = jnp.minimum(idx, s.shape[0] - 1)  # clamp pad columns
     found = neg > -_BIG * 0.5
     cnt = jnp.sum(found.astype(jnp.int32), axis=-1)  # (M,)
@@ -197,9 +211,18 @@ def segment_sums_sorted(keys: jnp.ndarray, vals: jnp.ndarray, w: jnp.ndarray,
     accumulation (infer.predict_offsets_voting_device).
     """
     order = jnp.argsort(keys)
-    sk = keys[order]
-    sv = (vals * w[:, None])[order]
-    sw = w[order][:, None]
+    return segment_sums_presorted(keys[order], (vals * w[:, None])[order],
+                                  w[order], n_out)
+
+
+def segment_sums_presorted(sk: jnp.ndarray, sv: jnp.ndarray,
+                           sw: jnp.ndarray, n_out: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`segment_sums_sorted` minus the sort — for callers whose rows
+    are already key-ascending (e.g. grid subsampling, which sorts by voxel
+    id anyway).  ``sv`` rows must already carry any weighting; ``sw`` is
+    the per-row weight/count contribution."""
+    sw = sw[:, None]
     T = sk.shape[0]
     heads = jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]).astype(sv.dtype)[:, None]

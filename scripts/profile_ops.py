@@ -109,9 +109,18 @@ def main():
         x, s, mask, smask), (xyz, sub))
     run("grid_subsample", lambda x, m: masked_grid_subsampling(
         x, m, npoint=N // 4, sample_dl=2 * dl), (xyz, mask))
-    run("pyramid_full", lambda x, m: build_pyramid(
-        x, m, radius=radius, sample_dl=dl, nsamples=nsamples,
-        npoints=npoints), (xyz, mask))
+    def pyramid_all(x, m):
+        # reduce over EVERY neighborhood product so XLA cannot DCE any
+        # level (summing only levels[0].xyz lets the whole build fold away)
+        pyr = build_pyramid(x, m, radius=radius, sample_dl=dl,
+                            nsamples=nsamples, npoints=npoints)
+        tot = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(pyr):
+            if hasattr(leaf, "astype"):  # skip static floats (radius)
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+        return tot
+
+    run("pyramid_full", pyramid_all, (xyz, mask))
 
     # decomposition of the ball query: distance tile vs top_k
     def dist_only(x, m):

@@ -227,7 +227,11 @@ def main():
         logger.info("multihost: precompiling the train step...")
         ex_local = next(_localized(iter([example])))
         if chunk_size > 1:
-            ex_chunk = {k: np.stack([np.asarray(v)] * chunk_size)
+            # match the REAL first-chunk shape (short epochs yield ragged
+            # chunks smaller than steps_per_dispatch) or the precompiled
+            # executable is never the one the loop runs
+            s_pre = min(chunk_size, len(train_loader))
+            ex_chunk = {k: np.stack([np.asarray(v)] * s_pre)
                         for k, v in ex_local.items()}
             trainer._jit_train_chunk.lower(
                 state, trainer.shard_chunk(ex_chunk),
