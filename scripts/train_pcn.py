@@ -40,6 +40,7 @@ def main():
         noise_type=cfg.noise_type, noise_level=cfg.noise_level,
         num_points_per_shape=cfg.num_points_per_shape,
         outlier_proportion=cfg.outlier_percentage, architecture="PCN",
+        diverse_levels=list(cfg.diverse_levels) or None,
         debug=bool(cfg.DEBUG), seed=cfg.rng_seed)
     train_ds = OffsetDataset(cfg.data_root, "train", num_steps=cfg.num_steps,
                              num_epochs=cfg.epochs, transforms=transforms,

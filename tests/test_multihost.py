@@ -106,3 +106,33 @@ def test_trainer_assemble_multihost_matches_device_put():
     for k in chunk:
         assert ca[k].sharding == cb[k].sharding, k
         np.testing.assert_array_equal(np.asarray(ca[k]), np.asarray(cb[k]))
+
+
+def test_host_barrier_single_process_noop():
+    """host_barrier must be a no-op (no distributed client) in
+    single-process jobs — the multi-process path is exercised by
+    test_multihost_2proc.py."""
+    from deep3dpointclouddenoising_tpu.parallel import host_barrier
+    host_barrier("unit")  # must not raise or block
+
+
+def test_replicate_tree_values_and_sharding():
+    """replicate_tree commits host values replicated over the mesh without
+    any collective; global arrays pass through untouched."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from deep3dpointclouddenoising_tpu.parallel import replicate_tree
+    from deep3dpointclouddenoising_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": np.float32(3.5)}
+    out = replicate_tree(mesh, tree)
+    assert out["a"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P()), 2)
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+    assert float(out["b"]) == 3.5
+    # idempotent on already-global arrays
+    out2 = replicate_tree(mesh, out)
+    np.testing.assert_array_equal(np.asarray(out2["a"]), tree["a"])
