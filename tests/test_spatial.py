@@ -22,9 +22,12 @@ from deep3dpointclouddenoising_tpu.parallel.spatial import (
 
 def giant_cloud_cfg():
     cfg = default_config()
+    # r5 slow-tier trim: depth 1 + narrower geometry halves the 8-device
+    # SPMD compile time of every test in this file; the sharded-vs-
+    # unsharded parities being pinned are size-independent
     cfg.num_points = 256          # the "giant cloud" at test scale
     cfg.width = 16
-    cfg.depth = 2
+    cfg.depth = 1
     cfg.radius = 0.2
     cfg.sampleDl = 0.05
     cfg.nsamples = [8, 8, 8, 8, 8]
@@ -46,6 +49,7 @@ def make_cloud(rng, B=1, N=256):
 def test_spatial_forward_matches_unsharded(rng):
     assert len(jax.devices()) >= 8
     cfg = giant_cloud_cfg()
+    cfg.depth = 2  # keep one depth-2 (self-aggregation levels) parity
     xyz, mask = make_cloud(rng)
 
     # parameters come from the ordinary (patch-trained) model
