@@ -603,6 +603,10 @@ def _cpu_baseline() -> dict:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # count ALGORITHMIC model FLOPs (and measure the CPU baseline on its
+    # fastest gather path): the one-hot MXU gather is a TPU implementation
+    # detail whose emulation matmuls otherwise inflate the MFU numerator
+    env["D3D_DISABLE_ONEHOT_GATHER"] = "1"
     code = ("import bench, json;"
             "print('CPU_JSON ' + json.dumps("
             "{'pps': bench.measure_forward_pps(iters=3, batch=4,"

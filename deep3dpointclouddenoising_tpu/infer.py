@@ -401,6 +401,10 @@ def clean_clouds(predict_fn, dataset: OffsetDataset, batch_size: int = 16,
 # that TPU XLA scatters serialize per scattered row
 from .ops.neighbors import segment_sums_sorted as _segment_sums_sorted
 
+# jitted device-voting executables, reused across calls (see
+# predict_offsets_voting_device)
+_VOTING_JIT_CACHE: Dict = {}
+
 
 def predict_offsets_voting_device(model, variables, cfg,
                                   dataset: OffsetDataset,
@@ -478,15 +482,25 @@ def predict_offsets_voting_device(model, variables, cfg,
     cis = cis.reshape(steps, batch_size)
     valid = valid.reshape(steps, batch_size)
 
+    # Reuse the jitted executable across calls: a fresh jit object per
+    # call would RETRACE the whole voting scan and re-load the serialized
+    # executable every run (~10 s of host work through the relay — more
+    # than the device time of the scan itself).  Keyed on everything that
+    # shapes the traced graph; model/apply_fn key by identity.
+    fn_key = ("default", id(model)) if apply_fn is None \
+        else ("custom", id(apply_fn))
     if apply_fn is None:
         def apply_fn(variables, batch):
             return model.apply(variables, batch["points"], batch["mask"],
                                batch["features"], train=False)
     fourier = bool(getattr(dataset, "fourier_features", False))
     norm_factor = sampler.norm_factor
+    cache_key = (fn_key, n_shapes, max_n, steps, batch_size, N,
+                 num_outputs, bool(tanh_offsets), float(scale or 0.0),
+                 int(num_votes), int(rng_seed), fourier,
+                 float(norm_factor or 0.0))
 
-    @jax.jit
-    def run(variables, data, inds, cnts, cis, valid):
+    def run_impl(variables, data, inds, cnts, cis, valid):
         def body(i, inp):
             p_inds, p_cnt, p_ci, v = inp
 
@@ -558,6 +572,13 @@ def predict_offsets_voting_device(model, variables, cfg,
         return (sums.reshape(n_shapes, max_n, num_outputs),
                 counts.reshape(n_shapes, max_n, 1))
 
+    cached = _VOTING_JIT_CACHE.get(cache_key)
+    if cached is None:
+        # hold strong refs to the keyed-by-id objects so a GC'd id cannot
+        # be recycled onto a different model/apply_fn
+        cached = (jax.jit(run_impl), model, apply_fn)
+        _VOTING_JIT_CACHE[cache_key] = cached
+    run = cached[0]
     sums, counts = jax.device_get(run(
         jax.device_put(variables), data, jnp.asarray(inds),
         jnp.asarray(cnts), jnp.asarray(cis), jnp.asarray(valid)))

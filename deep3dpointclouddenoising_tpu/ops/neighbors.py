@@ -285,6 +285,13 @@ def segment_sums_presorted(sk: jnp.ndarray, sv: jnp.ndarray,
 # 0.90 ms vs 2.31 (C=3) and 0.81 vs 3.63 (C=144) at the stem shapes.
 # Its FLOPs scale O(R*N*C), so it pays only for small support widths.
 _ONEHOT_FWD_MAX_N = 1024
+# bench.analyze_model_flops sets this to count ALGORITHMIC model FLOPs:
+# the one-hot contraction is a gather implementation detail whose
+# emulation matmuls would inflate the MFU numerator ~10x (and on CPU the
+# native take_along_axis is the faster path anyway, so the CPU baseline
+# measurement also runs with it)
+import os as _os
+_DISABLE_ONEHOT_FWD = _os.environ.get("D3D_DISABLE_ONEHOT_GATHER") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -306,7 +313,7 @@ def _gather_rows_impl(features: jnp.ndarray, idx: jnp.ndarray, n: int,
     This is the autodiff twin of the reference's hand-written atomicAdd
     kernel (group_points_gpu.cu:42-80).
     """
-    if n <= _ONEHOT_FWD_MAX_N:
+    if n <= _ONEHOT_FWD_MAX_N and not _DISABLE_ONEHOT_FWD:
         onehot = jax.nn.one_hot(idx, n, dtype=features.dtype)  # (B, R, N)
         return jnp.einsum("brn,bnc->brc", onehot, features,
                           precision=jax.lax.Precision.HIGHEST)
