@@ -63,6 +63,18 @@ for stage in $STAGES; do
         --pcn --device_voting \
         --checkpoint "$QD/synthetic_quality_pcn/current"
     done ;;
+  pcn4)
+    # PointCleanNet-faithful level set (no sigma=0 replicas): the pcn3
+    # row shows the single-patch PCN never escapes the zero-predictor
+    # optimum when 1/3 of its shapes carry (near-)zero offsets
+    sup synthetic_quality_pcn4 python scripts/train_pcn.py \
+      --config_file cfgs/synthetic_quality_pcn4.yaml \
+      --data_root "$DR" --log_dir "$QD" --auto_resume
+    for sig in 0.005 0.001; do
+      infer_cd pcn4_$sig cfgs/synthetic_quality_pcn4.yaml $sig \
+        --pcn --device_voting \
+        --checkpoint "$QD/synthetic_quality_pcn4/current"
+    done ;;
   pcn3)
     # regime-matched PCN baseline (uniform per-shape noise) — see the
     # cfgs/synthetic_quality_pcn3.yaml header for why the mix-trained
